@@ -1,0 +1,115 @@
+"""Raster (image payload) codecs + vectorized decode/feature kernels.
+
+The reference's raster is the SRTM 1201×1201 big-endian int16 grid decoded
+straight from bytes (srtm2osm/Srtm.java:143-156,338-346); ours is the image
+``bytes`` column of the corpus (BASELINE.json input_hint). Two deterministic
+codecs keep everything testable without image libraries:
+
+- ``raw``  lossless uint8 grayscale, row-major (the SRTM analogue).
+- ``q6``   lossy 6-bit quantization (2 LSBs dropped, midpoint reconstruction)
+           → PSNR ≈ 46 dB, satisfying the ≥40 dB lossy invariant.
+
+Real PNG/JPEG decode is STUBBED behind NotImplementedError (no PIL/cv2 in
+this container) — the Spark-side plumbing (binary column → numpy batch →
+stats columns) is real and tested.
+
+All kernels are batch-vectorized (numpy over Arrow record batches via
+mapInPandas) — no per-row Python beyond the unavoidable per-image reshape.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+LOSSLESS_FMTS = {"raw"}
+LOSSY_FMTS = {"q6"}
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    """uint8 2D array → bytes under the given format."""
+    if fmt == "raw":
+        return img.astype(np.uint8).tobytes()
+    if fmt == "q6":
+        return (img.astype(np.uint8) >> 2).tobytes()
+    if fmt in ("png", "jpeg"):
+        raise NotImplementedError(
+            f"STUB: real '{fmt}' encode requires an image library not present "
+            "in this container; use 'raw' or 'q6'.")
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(b: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """bytes → uint8 2D array (h, w)."""
+    if fmt == "raw":
+        return np.frombuffer(b, dtype=np.uint8).reshape(h, w)
+    if fmt == "q6":
+        q = np.frombuffer(b, dtype=np.uint8).reshape(h, w)
+        return np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
+    if fmt in ("png", "jpeg"):
+        raise NotImplementedError(
+            f"STUB: real '{fmt}' decode requires an image library not present "
+            "in this container.")
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (peak=255); inf for identical."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0:
+        return float("inf")
+    return 20.0 * math.log10(255.0) - 10.0 * math.log10(mse)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure-numpy index mapping)."""
+    h, w = img.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[np.ix_(ys, xs)]
+
+
+# --------------------------------------------------------------------------
+# Spark-side kernels
+# --------------------------------------------------------------------------
+
+DECODE_STATS_SCHEMA = ("image_id string, mean double, std double, "
+                       "p_min int, p_max int, psnr_vs_roundtrip double")
+
+
+def decode_stats_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode each image, emit pixel stats + the PSNR of
+    an encode→decode roundtrip (the lossy-invariant probe). Input batches
+    need columns image_id, bytes, w, h, fmt."""
+    for pdf in it:
+        n = len(pdf)
+        out = {"image_id": pdf["image_id"].to_numpy(),
+               "mean": np.empty(n), "std": np.empty(n),
+               "p_min": np.empty(n, dtype=np.int32),
+               "p_max": np.empty(n, dtype=np.int32),
+               "psnr_vs_roundtrip": np.empty(n)}
+        bs, ws, hs, fmts = (pdf["bytes"].to_numpy(), pdf["w"].to_numpy(),
+                            pdf["h"].to_numpy(), pdf["fmt"].to_numpy())
+        for i in range(n):
+            img = decode_image(bs[i], int(ws[i]), int(hs[i]), fmts[i])
+            out["mean"][i] = img.mean()
+            out["std"][i] = img.std()
+            out["p_min"][i] = img.min()
+            out["p_max"][i] = img.max()
+            rt = decode_image(encode_image(img, fmts[i]), int(ws[i]),
+                              int(hs[i]), fmts[i])
+            out["psnr_vs_roundtrip"][i] = psnr(img, rt)
+        yield pd.DataFrame(out)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Distributed decode + stats over the corpus (binary column stays on
+    executors; only small numeric columns come back)."""
+    cols = images.select("image_id", "bytes", "w", "h", "fmt")
+    return cols.mapInPandas(decode_stats_map, schema=DECODE_STATS_SCHEMA)

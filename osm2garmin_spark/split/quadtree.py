@@ -1,0 +1,290 @@
+"""Driver-side density grid + recursive weighted-median quadtree split.
+
+This is the analytics core of the reference's splitter pass 1, ported
+integer-exact so tile boundaries reproduce bit-for-bit:
+
+- ``DensityGrid``            ≙ DensityMap.java:24-220 (subset, trim, cell codec)
+- ``SplittableDensityArea``  ≙ SplittableDensityArea.java:27-196 (split
+                               recursion, aspect ratio, weighted-mean split
+                               point, 3/5-quantile clamp, even-parity split,
+                               interleave+reverse result mixing)
+
+The *histogram itself* is computed distributed (see ``split.density``); only
+the ≤ (8192×4096) counts grid ever reaches the driver, so this scales to
+arbitrarily many input rows.
+
+Java-semantics notes (SURVEY.md §7.3 "what's hard"):
+- ``int`` casts truncate toward zero (np.trunc / int()).
+- ``>>>`` handled by geo.units.round_* helpers.
+- ``(int)(weightedSum / sum)`` is long division of non-negatives → ``//``.
+- aspect ratio uses cos of the *rounded* bounds' min/max latitude.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..geo.area import Area, EMPTY_AREA, round_area
+from ..geo.units import to_degrees
+
+
+class DensityGrid:
+    """Dense 2D histogram of node counts over a rounded area.
+
+    Indexing is [x][y] like the reference (x = longitude cell, y = latitude
+    cell); shift = 24 - resolution (DensityMap.java:37-45).
+    """
+
+    def __init__(self, area: Area, trim: bool, resolution: int,
+                 counts: Optional[np.ndarray] = None):
+        assert 1 <= resolution <= 24
+        self.shift = 24 - resolution
+        self.trim_enabled = trim
+        if area is EMPTY_AREA or (area.width == 0 or area.height == 0):
+            self.bounds = EMPTY_AREA
+            self.width = 0
+            self.height = 0
+            self.grid = np.zeros((0, 0), dtype=np.int64)
+            self.total = 0
+            return
+        self.bounds = round_area(area, resolution)
+        self.height = self.bounds.height >> self.shift
+        self.width = self.bounds.width >> self.shift
+        if counts is None:
+            self.grid = np.zeros((self.width, self.height), dtype=np.int64)
+        else:
+            assert counts.shape == (self.width, self.height)
+            self.grid = counts
+        self.total = int(self.grid.sum())
+
+    # --- cell codecs (DensityMap.java:203-219) -------------------------
+    def lon_to_x(self, lon: int) -> int:
+        return (lon - self.bounds.min_long) >> self.shift
+
+    def lat_to_y(self, lat: int) -> int:
+        return (lat - self.bounds.min_lat) >> self.shift
+
+    def x_to_lon(self, x: int) -> int:
+        return (x << self.shift) + self.bounds.min_long
+
+    def y_to_lat(self, y: int) -> int:
+        return (y << self.shift) + self.bounds.min_lat
+
+    # --- population -----------------------------------------------------
+    def add_counts(self, xs: np.ndarray, ys: np.ndarray, counts: np.ndarray):
+        """Accumulate pre-aggregated (x, y, count) cell triples.
+
+        Callers compute x/y with addNode semantics (DensityMap.java:63-78):
+        containment-filtered, x==width / y==height clamped to the last cell.
+        """
+        np.add.at(self.grid, (xs, ys), counts)
+        self.total = int(self.grid.sum())
+
+    def node_count(self) -> int:
+        return self.total
+
+    # --- subset + trim (DensityMap.java:88-179) -------------------------
+    def subset(self, sub: Area) -> "DensityGrid":
+        resolution = 24 - self.shift
+        min_lat = max(self.bounds.min_lat, sub.min_lat)
+        min_lon = max(self.bounds.min_long, sub.min_long)
+        max_lat = min(self.bounds.max_lat, sub.max_lat)
+        max_lon = min(self.bounds.max_long, sub.max_long)
+        if min_lat > max_lat or min_lon > max_lon:
+            return DensityGrid(EMPTY_AREA, self.trim_enabled, resolution)
+
+        sub = Area(min_lat, min_lon, max_lat, max_lon)
+        if self.trim_enabled:
+            sub = self._trim(sub)
+        if sub is EMPTY_AREA or sub.width == 0 or sub.height == 0:
+            return DensityGrid(EMPTY_AREA, self.trim_enabled, resolution)
+
+        result = DensityGrid(sub, self.trim_enabled, resolution)
+        start_x = self.lon_to_x(sub.min_long)
+        start_y = self.lat_to_y(sub.min_lat)
+        # copy extent from the (possibly unaligned) subset area like the
+        # reference's arraycopy loop (DensityMap.java:119-135); clamp to the
+        # rounded result dims for safety
+        max_x = min(sub.width >> self.shift, result.width)
+        max_y = min(sub.height >> self.shift, result.height)
+        result.grid[:max_x, :max_y] = self.grid[start_x:start_x + max_x,
+                                                start_y:start_y + max_y]
+        result.total = int(result.grid.sum())
+        return result
+
+    def _trim(self, area: Area) -> Area:
+        """Shave empty edge rows/columns then re-round (DensityMap.java:137-179)."""
+        min_x = self.lon_to_x(area.min_long)
+        max_x = self.lon_to_x(area.max_long)
+        min_y = self.lat_to_y(area.min_lat)
+        max_y = self.lat_to_y(area.max_lat)
+
+        sub = self.grid[:, :]
+        while min_x < max_x and not sub[min_x, min_y:max_y].any():
+            min_x += 1
+        if min_x == max_x:
+            return EMPTY_AREA
+        while not sub[max_x - 1, min_y:max_y].any():
+            max_x -= 1
+        while min_y < max_y and not sub[min_x:max_x, min_y].any():
+            min_y += 1
+        if min_y == max_y:
+            return EMPTY_AREA
+        while not sub[min_x:max_x, max_y - 1].any():
+            max_y -= 1
+
+        trimmed = Area(self.y_to_lat(min_y), self.x_to_lon(min_x),
+                       self.y_to_lat(max_y), self.x_to_lon(max_x))
+        rounded = round_area(trimmed, 24 - self.shift)
+
+        # keep the rounding inside the original boundaries (DensityMap.java:166-175)
+        lat_adjust = max(0, rounded.max_lat - area.max_lat)
+        lon_adjust = max(0, rounded.max_long - area.max_long)
+        if lat_adjust > 0 or lon_adjust > 0:
+            rounded = Area(rounded.min_lat - lat_adjust,
+                           rounded.min_long - lon_adjust,
+                           rounded.max_lat - lat_adjust,
+                           rounded.max_long - lon_adjust)
+        return rounded
+
+
+class SplittableDensityArea:
+    """Recursive split of a density grid into areas of ≤ max_nodes counts.
+
+    Port of SplittableDensityArea.java:27-196.
+    """
+
+    def __init__(self, densities: DensityGrid):
+        self.densities: Optional[DensityGrid] = densities
+
+    def get_bounds(self) -> Area:
+        return self.densities.bounds
+
+    def get_aspect_ratio(self) -> float:
+        """SplittableDensityArea.java:40-48 — width cos-corrected at both
+        latitudes, Java (int) truncation."""
+        d = self.densities
+        bounds = d.bounds
+        width1 = int(np.trunc(d.width * math.cos(math.radians(to_degrees(bounds.min_lat)))))
+        width2 = int(np.trunc(d.width * math.cos(math.radians(to_degrees(bounds.max_lat)))))
+        width = max(width1, width2)
+        return float(width) / d.height
+
+    def split(self, max_nodes: int) -> List[Area]:
+        """SplittableDensityArea.java:52-100."""
+        d = self.densities
+        if d is None or d.node_count() == 0:
+            return []
+        bounds = d.bounds
+        if d.node_count() <= max_nodes:
+            self.densities = None
+            return [bounds]
+        if d.width < 4 and d.height < 4:
+            return [bounds]
+
+        split_result = None
+        split_x = self._get_split_horiz()
+        split_y = self._get_split_vert()
+
+        if self.get_aspect_ratio() <= 1.0 and d.height >= 4 and split_y is not None:
+            split_result = self._split_vert(split_y)
+        if split_result is None and d.width >= 4 and split_x is not None:
+            split_result = self._split_horiz(split_x)
+        if self.get_aspect_ratio() > 1.0 and split_result is None and d.height >= 4 and split_y is not None:
+            split_result = self._split_vert(split_y)
+        if split_result is None:
+            return [bounds]
+
+        self.densities = None
+        return _mix_results(split_result[0].split(max_nodes),
+                            split_result[1].split(max_nodes))
+
+    # --- split point selection (SplittableDensityArea.java:127-196) -----
+    def _get_split_horiz(self) -> Optional[int]:
+        g = self.densities.grid
+        s = int(g.sum())
+        ws = int((g.sum(axis=1) * np.arange(g.shape[0], dtype=np.int64)).sum())
+        return self._limit(0, self.densities.width, ws // s)
+
+    def _get_split_vert(self) -> Optional[int]:
+        g = self.densities.grid
+        s = int(g.sum())
+        ws = int((g.sum(axis=0) * np.arange(g.shape[1], dtype=np.int64)).sum())
+        return self._limit(0, self.densities.height, ws // s)
+
+    @staticmethod
+    def _limit(first: int, second: int, calc_offset: int) -> Optional[int]:
+        """Clamp to middle 3/5 quantiles, force even parity
+        (SplittableDensityArea.java:182-196)."""
+        mid = first + calc_offset
+        limitoff = (second - first) // 5
+        if mid - first < limitoff:
+            mid = first + limitoff
+        elif second - mid < limitoff:
+            mid = second - limitoff
+        if mid % 2 != 0:
+            mid -= 1
+        if mid == first or mid == second:
+            return None
+        return mid
+
+    def _split_horiz(self, split_x: int):
+        d = self.densities
+        bounds = d.bounds
+        mid = bounds.min_long + (split_x << d.shift)
+        left = Area(bounds.min_lat, bounds.min_long, bounds.max_lat, mid)
+        right = Area(bounds.min_lat, mid, bounds.max_lat, bounds.max_long)
+        return (SplittableDensityArea(d.subset(left)),
+                SplittableDensityArea(d.subset(right)))
+
+    def _split_vert(self, split_y: int):
+        d = self.densities
+        bounds = d.bounds
+        mid = bounds.min_lat + (split_y << d.shift)
+        bottom = Area(bounds.min_lat, bounds.min_long, mid, bounds.max_long)
+        top = Area(mid, bounds.min_long, bounds.max_lat, bounds.max_long)
+        return (SplittableDensityArea(d.subset(bottom)),
+                SplittableDensityArea(d.subset(top)))
+
+
+def _mix_results(a1: List[Area], a2: List[Area]) -> List[Area]:
+    """Interleave the two halves' results then reverse
+    (SplittableDensityArea.java:103-122). The order defines sequential
+    map-id assignment (Main.java:181-195), so it must be exact."""
+    results: List[Area] = []
+    i = j = 0
+    while i < len(a1) and j < len(a2):
+        results.append(a1[i]); i += 1
+        results.append(a2[j]); j += 1
+    results.extend(a1[i:])
+    results.extend(a2[j:])
+    results.reverse()
+    return results
+
+
+def split_area(grid: DensityGrid, exact_area: Area, resolution: int,
+               max_nodes: int, first_map_id: int = 63240001) -> List[Area]:
+    """Pass-1 tail: round the exact data bbox, subset+trim the planet density
+    grid, split, assign sequential map ids (Main.java:177-195 + nodes.
+    getRoundedArea, DensityMapCollector.java:80-83). Returns Areas with
+    map_id set in reference traversal order."""
+    bbounds = round_area(exact_area, resolution)
+    splittable = SplittableDensityArea(grid.subset(bbounds))
+    areas = splittable.split(max_nodes)
+    if not areas and grid.node_count() > 0:
+        # Robustness divergence from the reference: RoundingUtils.round rounds
+        # the min-lat edge *up* (RoundingUtils.java:74), so data confined to a
+        # sub-alignment sliver can round to a bbox that misses every point and
+        # the split yields no tiles (the reference would emit an empty
+        # areas.list here). Pad the exact bbox by one alignment and retry so a
+        # non-empty input always produces ≥1 tile.
+        padded = round_area(exact_area.extend(1 << (24 - resolution)), resolution)
+        areas = SplittableDensityArea(grid.subset(padded)).split(max_nodes)
+    out = []
+    for i, a in enumerate(areas):
+        out.append(Area(a.min_lat, a.min_long, a.max_lat, a.max_long,
+                        map_id=first_map_id + i))
+    return out

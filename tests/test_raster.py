@@ -1,0 +1,72 @@
+"""Raster codec + corpus invariants (BASELINE.json input_hint):
+lossless roundtrip exact, lossy PSNR ≥ 40 dB, caption equality, phash
+deterministic."""
+
+import numpy as np
+import pytest
+
+from osm2garmin_spark.operators.raster import (
+    decode_image, encode_image, psnr, resize_nearest, decode_stats,
+)
+from osm2garmin_spark.pipeline.synth import synth_images, _gen_batch
+
+
+def test_raw_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    assert (decode_image(encode_image(img, "raw"), 16, 16, "raw") == img).all()
+
+
+def test_q6_psnr_above_40():
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        dec = decode_image(encode_image(img, "q6"), 16, 16, "q6")
+        assert psnr(img, dec) >= 40.0
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_real_formats_are_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"", 1, 1, "png")
+    with pytest.raises(NotImplementedError):
+        encode_image(np.zeros((2, 2), np.uint8), "jpeg")
+
+
+def test_resize_nearest():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = resize_nearest(img, 4, 4)
+    assert out.shape == (4, 4)
+    assert out[0, 0] == img[0, 0]
+
+
+def test_gen_batch_deterministic_and_invariants():
+    ids = np.arange(0, 50, dtype=np.int64)
+    a = _gen_batch(ids)
+    b = _gen_batch(ids)
+    assert (a["phash"] == b["phash"]).all()
+    assert (a["caption"] == b["caption"]).all()
+    assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))
+    # decoded-pixel invariant per fmt
+    for i in range(len(a)):
+        img = decode_image(a["bytes"][i], int(a["w"][i]), int(a["h"][i]), a["fmt"][i])
+        assert img.shape == (16, 16)
+        if a["fmt"][i] == "q6":
+            # re-encode is idempotent (stable fixture)
+            assert encode_image(img, "q6") == a["bytes"][i]
+
+
+def test_decode_stats_distributed(spark):
+    imgs = synth_images(spark, 200, partitions=2)
+    stats = decode_stats(imgs).collect()
+    assert len(stats) == 200
+    for r in stats:
+        assert 0 <= r["p_min"] <= r["p_max"] <= 255
+        assert r["psnr_vs_roundtrip"] == float("inf") or r["psnr_vs_roundtrip"] >= 40.0
+
+
+def test_corpus_partition_independence(spark):
+    """generation is a pure function of id — partitioning must not matter"""
+    a = synth_images(spark, 300, partitions=1).select("image_id", "phash", "caption").collect()
+    b = synth_images(spark, 300, partitions=7).select("image_id", "phash", "caption").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
