@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over osm2garmin_spark.queries — see that module for the
+operator inventory and the oracle-matching conventions.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osm2garmin_spark import queries as Q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full reference pipeline
+    (density scan → driver quadtree split → broadcast tile-assignment join)
+    over points derived from the events table; returns per-tile counts with
+    tile boundaries (map units)."""
+    from pyspark.sql import functions as F
+    from osm2garmin_spark.pipeline.tiling import run_tiling_pipeline
+
+    sf_dir = "/root/testdata/sf0.001"
+    pts = Q._event_points(spark, sf_dir)
+    res = run_tiling_pipeline(pts, max_nodes=100, overlap=2000)
+    if res is None:
+        return spark.createDataFrame(
+            [], "tile_id int, n_rows long, min_lat long, min_lon long, "
+                "max_lat long, max_lon long")
+    tiles_meta = spark.createDataFrame(
+        [(t.map_id, t.min_lat, t.min_long, t.max_lat, t.max_long)
+         for t in res.tiles],
+        "tile_id int, min_lat long, min_lon long, max_lat long, max_lon long")
+    return res.counts.join(tiles_meta, "tile_id").orderBy("tile_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.oracle_sql()

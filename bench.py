@@ -1,0 +1,96 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
+"sf", plus throughput fields for the north-star metric}.
+
+The flagship measurement is the tiling pipeline over a synthesized
+image+caption corpus (the BASELINE.json input shape): rows joined+tiled per
+second. ``--cores N`` overrides parallelism (used by tools/bench_scaling.py
+for the N vs 4N scaling-efficiency evidence).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "2000000"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--corpus-rows", type=int, default=CORPUS_ROWS)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from osm2garmin_spark.session import get_spark
+    from osm2garmin_spark import queries as Q
+    from osm2garmin_spark.pipeline.synth import synth_images, attach_geo
+    from osm2garmin_spark.pipeline.tiling import run_tiling_pipeline
+
+    spark = get_spark("bench", master=f"local[{args.cores}]",
+                      shuffle_partitions=args.cores)
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        if args.only and name not in args.only:
+            return
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # ---- flagship: full tiling pipeline over the image corpus ------------
+    def tiling_bench():
+        corpus = attach_geo(synth_images(spark, args.corpus_rows,
+                                         partitions=args.cores * 4))
+        res = run_tiling_pipeline(corpus, max_nodes=100_000)
+        n_assign = res.assigned.count()
+        extra["tile_assignments"] = n_assign
+        extra["n_tiles"] = len(res.tiles)
+
+    timed("tiling_pipeline_2m_images", tiling_bench)
+    if "tiling_pipeline_2m_images" in timings:
+        extra["tile_assignments_per_sec"] = round(
+            extra["tile_assignments"] / timings["tiling_pipeline_2m_images"], 1)
+
+    # ---- headline sf-dir queries -----------------------------------------
+    qs = Q.queries()
+    headline = ["q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
+                "top3_orders_per_customer", "density_histogram",
+                "tile_assign_fixed", "way_tileset", "knn_customers_suppliers",
+                "pip_hexagon", "doc_text_features", "doc_simhash",
+                "jaccard_pairs_docs", "embed_top3", "minhash_candidates",
+                "image_decode_stats", "sessionize_events",
+                "tiling_pipeline_counts"]
+    for name in headline:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).write
+              .format("noop").mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "tile-assignments/sec (rows joined+tiled per second); "
+                  "value = total headline-query wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": args.cores,
+        **extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

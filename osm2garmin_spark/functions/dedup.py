@@ -1,0 +1,166 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+- ``exact_dedup``        hash/groupBy keep-first (one shuffle on the key)
+- ``ngram_jaccard_pairs``  exact n-gram Jaccard via shingle-explode
+                           candidate join (shared-shingle equi-join prunes
+                           the quadratic pair space)
+- ``simhash``            64→16-bit sign-sum fingerprint from an arithmetic
+                         word hash — pure column expressions, so a SQL
+                         oracle reproduces it exactly
+- ``minhash_lsh_pairs``  MinHash signatures + banded LSH bucket join —
+                         the 100 TB-scale near-dup path (candidates only
+                         ever meet inside a bucket)
+
+All content hashing is explicit integer arithmetic (no engine-private hash
+functions) so results are engine-portable and stable across versions.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import FP_BASE, FP_MOD, word_shingles
+
+#: MinHash permutation modulus — 2^31-1 keeps (h % P) * a + b inside int64
+MH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def exact_dedup(df: DataFrame, key_cols: List[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per duplicate group (deterministic winner)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def word_hash(word: Column) -> Column:
+    """base-131 polynomial over the first 8 chars — portable to SQL
+    (fixed-position substr/ascii, fits int64: 131^7·255 < 2^63)."""
+    h = F.lit(0).cast("long")
+    for k in range(1, 9):
+        c = F.when(F.length(word) >= k, F.ascii(F.substring(word, k, 1))).otherwise(F.lit(0))
+        h = h * F.lit(FP_BASE) + c
+    return h
+
+
+def word_hash_sql(col: str) -> str:
+    expr = "CAST(0 AS BIGINT)"
+    for k in range(1, 9):
+        c = (f"(CASE WHEN length({col}) >= {k} "
+             f"THEN ascii(substr({col}, {k}, 1)) ELSE 0 END)")
+        expr = f"({expr} * {FP_BASE} + {c})"
+    return expr
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace words: mix each word hash with an LCG,
+    sum ±1 per bit position, fingerprint bit = sign. Near-duplicate docs
+    differ in few bits (compare via hamming distance ≤ t)."""
+    words = F.split(text, " ")
+    mixed = F.transform(words, lambda wd: (word_hash(wd) % F.lit(1 << 31)) * F.lit(2654435761) % F.lit(1 << 32))
+
+    def _sign_sum(bit: int):
+        # factory so the merge lambda keeps exactly 2 params (PySpark infers
+        # higher-order-function arity from the Python signature)
+        return lambda acc, m: acc + F.when(
+            F.shiftright(m, bit) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    fp = F.lit(0).cast("long")
+    for bit in range(16):
+        ones = F.aggregate(mixed, F.lit(0).cast("long"), _sign_sum(bit))
+        fp = fp + F.when(ones > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return fp
+
+
+def simhash16_sql(col: str) -> str:
+    wh = word_hash_sql("wd")
+    mixed = f"((({wh}) % {1 << 31}) * 2654435761 % {1 << 32})"
+    bits = []
+    for bit in range(16):
+        ones = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"[CASE WHEN ({mixed} // {1 << bit}) % 2 = 1 THEN CAST(1 AS BIGINT) "
+                f"ELSE CAST(-1 AS BIGINT) END for wd in string_split({col}, ' ')]), "
+                f"(acc, v) -> acc + v)")
+        bits.append(f"CASE WHEN ({ones}) > 0 THEN {1 << bit} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Pairs (a < b) with Jaccard(shingle-set a, shingle-set b) ≥ threshold.
+
+    Shape: explode distinct shingles → self equi-join on shingle →
+    per-pair intersection counts → join per-doc set sizes → filter.
+    The only quadratic step is within a shingle bucket (skew-prone for very
+    common shingles at planetary scale — cap or salt there; see minhash for
+    the probabilistic alternative).
+    """
+    sh = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh")))
+    left = sh.alias("l")
+    right = sh.alias("r")
+    pairs = (left.join(right, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.id") < F.col("r.id")))
+             .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    out = (pairs
+           .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sz_a"), "a")
+           .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sz_b"), "b"))
+    jac_ok = (out["inter"] * (1.0 / threshold)) >= (out["sz_a"] + out["sz_b"] - out["inter"])
+    return out.filter(jac_ok).select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                                     "inter", "sz_a", "sz_b")
+
+
+def shingle_hash(sh: Column) -> Column:
+    """Full polynomial hash of a shingle string (mod FP_MOD)."""
+    return F.aggregate(
+        F.split(sh, ""), F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(FP_BASE) + F.ascii(c)) % F.lit(FP_MOD),
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 32) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — sig[i] = min over shingles of
+    (a_i·h + b_i) mod 2^61−1, deterministic fixed coefficients."""
+    a = [(2 * i + 1) * 40503 + 1 for i in range(num_hashes)]          # odd multipliers
+    b = [(i * 2654435761 + 17) % MH_PRIME for i in range(num_hashes)]
+    sh = word_shingles(F.col(text_col), n)
+    hashes = F.transform(F.array_distinct(sh), shingle_hash)
+    def _perm(ai: int, bi: int):
+        return lambda h: ((h % F.lit(MH_PRIME)) * F.lit(ai) + F.lit(bi)) % F.lit(MH_PRIME)
+
+    sig_cols = []
+    for i in range(num_hashes):
+        sig_cols.append(F.array_min(F.transform(hashes, _perm(a[i], b[i]))))
+    return docs.filter(F.size(sh) > 0).select(
+        F.col(id_col).alias("id"), F.array(*sig_cols).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: docs sharing any band of
+    minhash values meet in a bucket. Returns distinct (doc_a < doc_b) pairs
+    with their estimated Jaccard (matching signature fraction)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    band_arrays = F.array(*[
+        F.concat_ws("_", F.lit(bi), *[F.element_at("sig", bi * rows_per_band + j + 1)
+                                      for j in range(rows_per_band)])
+        for bi in range(bands)])
+    buckets = sigs.select("id", "sig", F.explode(band_arrays).alias("bucket"))
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    cand = (l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"),
+                     F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    eq_cnt = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0), lambda acc, v: acc + v)
+    return cand.select("doc_a", "doc_b",
+                       (eq_cnt.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"))

@@ -1,0 +1,114 @@
+"""Text analysis for a training-data pipeline: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything is a JVM-side column expression (whole-stage codegen; no Python)
+and every function has exact integer/deterministic semantics so a DuckDB
+oracle can reproduce it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: modulus for the polynomial rolling hash — prime < 2^56 so acc*131 + 255
+#: stays inside int64 in every engine
+FP_MOD = 36028797018963913
+FP_BASE = 131
+
+#: tiny per-language stopword sets for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+    "zh": ["de", "le", "he"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count as (spaces + 1) — exact and SQL-portable."""
+    return (F.length(text) - F.length(F.regexp_replace(text, " ", "")) + 1).cast("long")
+
+
+def token_count_sql(col: str) -> str:
+    return f"(length({col}) - length(replace({col}, ' ', '')) + 1)"
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Integer quality heuristic in [0, 100]: rewards mid-length documents
+    and words-per-char balance; all-integer arithmetic (portable)."""
+    toks = token_count(text)
+    chars = F.length(text).cast("long")
+    # mean word length ×10, integer division (floor == trunc for non-neg)
+    mwl10 = F.floor((chars * 10) / toks).cast("long")
+    len_score = F.when(chars >= 200, F.lit(50)).otherwise(F.floor(chars / 4).cast("long"))
+    wl_score = F.when((mwl10 >= 30) & (mwl10 <= 80), F.lit(50)) \
+                .otherwise(F.lit(20))
+    return (len_score + wl_score).cast("long")
+
+
+def quality_score_sql(col: str) -> str:
+    toks = token_count_sql(col)
+    return (f"(CASE WHEN length({col}) >= 200 THEN 50 ELSE length({col}) // 4 END"
+            f" + CASE WHEN (length({col}) * 10) // {toks} BETWEEN 30 AND 80 "
+            f"THEN 50 ELSE 20 END)")
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash of the whole document, base 131 mod FP_MOD —
+    a deterministic content fingerprint (dedup key / lineage digest).
+    Implemented as a fold over the char array: stays JVM-side via
+    ``F.aggregate``; sequential fold → order-deterministic."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(FP_BASE) + F.ascii(c)) % F.lit(FP_MOD),
+    )
+
+
+def fingerprint_sql(col: str) -> str:
+    """DuckDB twin via list_reduce over the exploded chars (same fold)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii(c) AS BIGINT) for c in string_split({col}, '')]), "
+        f"(acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})"
+    )
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-hit language heuristic: the language with the most stopword
+    matches wins; ties/none → 'unknown'. Deterministic tie-break by
+    language order en,de,es,fr,zh."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    scores = []
+    for lang, words in LANG_STOPWORDS.items():
+        s = None
+        for wd in words:
+            cnt = F.floor(
+                (F.length(padded) - F.length(F.replace(padded, F.lit(f" {wd} "), F.lit(""))))
+                / F.lit(len(wd) + 2)
+            ).cast("long")
+            s = cnt if s is None else s + cnt
+        scores.append((lang, s))
+    # first language with the strictly-highest score wins (forward scan)
+    result = F.lit("unknown")
+    running_max = F.lit(0).cast("long")
+    for lang, s in scores:
+        result = F.when(s > running_max, F.lit(lang)).otherwise(result)
+        running_max = F.when(s > running_max, s).otherwise(running_max)
+    return result
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined consecutive word n-grams)."""
+    words = F.split(text, " ")
+    sz = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(-1)))
+    return F.when(sz >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)])
+    )).otherwise(F.array().cast("array<string>"))

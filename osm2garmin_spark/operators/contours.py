@@ -1,0 +1,248 @@
+"""Raster→vector bridge: marching-squares contour extraction + distributed
+polyline stitching.
+
+Reference semantics (not a port — the kernel is a standard marching-squares
+re-implementation in numpy):
+
+- contour levels are the arithmetic series floor(zmin/step)*step+step … zmax
+  (srtm2osm/Contours.assignContourValues:155-184)
+- crossing positions linearly interpolated: (level−z1)/(z2−z1)
+  (Contours.ContinueContour:455,573)
+- fragments merged by exact endpoint equality — a hash join on the endpoint
+  key (Srtm2Osm.addContours:209-272); we quantize endpoints deliberately so
+  float equality is well-defined across partitions (SURVEY.md §7.3)
+- contours with <2 points dropped (Contour.java:73-78)
+- per-cell segment-density pruning (Srtm2Osm.checkContoursDensity:295-355)
+
+Spark shape: the per-raster kernel runs in Arrow batches (mapInPandas, one
+raster never crosses a partition); cross-fragment stitching is an iterated
+self-equi-join on quantized endpoint keys driven to a fixpoint — each
+iteration halves the number of fragments per chain, so it terminates in
+O(log chain-length) rounds.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from .raster import decode_image
+
+#: endpoint quantization for exact-equality keys (map-unit-ish precision)
+QUANT = 1 << 20
+
+
+def contour_levels(zmin: float, zmax: float, step: float) -> np.ndarray:
+    """floor(zmin/step)*step + step … ≤ zmax (reference series)."""
+    if not math.isfinite(zmin) or not math.isfinite(zmax) or zmax <= zmin:
+        return np.array([])
+    first = math.floor(zmin / step) * step + step
+    return np.arange(first, zmax + 1e-9, step)
+
+
+def marching_squares(grid: np.ndarray, level: float) -> List[np.ndarray]:
+    """Extract iso-polylines at ``level`` from a 2D float grid (y, x).
+
+    Returns a list of (n, 2) float arrays of (x, y) vertices in grid
+    coordinates. Standard marching squares with linear interpolation and
+    deterministic segment assembly (endpoint dict, lowest-key-first chain
+    starts).
+    """
+    h, w = grid.shape
+    if h < 2 or w < 2:
+        return []
+    above = grid >= level
+
+    segs: List[Tuple[Tuple[int, int, int], Tuple[int, int, int]]] = []
+    # edge key: (iy, ix, 0=horizontal edge from (ix,iy)-(ix+1,iy), 1=vertical)
+    tl = above[:-1, :-1]; tr = above[:-1, 1:]
+    bl = above[1:, :-1]; br = above[1:, 1:]
+    case = (tl.astype(np.int8) + tr.astype(np.int8) * 2
+            + br.astype(np.int8) * 4 + bl.astype(np.int8) * 8)
+    ys, xs = np.nonzero((case > 0) & (case < 15))
+
+    # lookup: per case, list of (edge_a, edge_b) pairs; edges 0=top,1=right,
+    # 2=bottom,3=left of the 2×2 cell
+    TABLE = {
+        1: [(3, 0)], 2: [(0, 1)], 3: [(3, 1)], 4: [(1, 2)], 5: [(3, 0), (1, 2)],
+        6: [(0, 2)], 7: [(3, 2)], 8: [(2, 3)], 9: [(2, 0)], 10: [(0, 1), (2, 3)],
+        11: [(2, 1)], 12: [(1, 3)], 13: [(1, 0)], 14: [(0, 3)],
+    }
+
+    def edge_key(iy: int, ix: int, e: int) -> Tuple[int, int, int]:
+        if e == 0:
+            return (iy, ix, 0)
+        if e == 2:
+            return (iy + 1, ix, 0)
+        if e == 3:
+            return (iy, ix, 1)
+        return (iy, ix + 1, 1)
+
+    for iy, ix in zip(ys.tolist(), xs.tolist()):
+        for ea, eb in TABLE[int(case[iy, ix])]:
+            segs.append((edge_key(iy, ix, ea), edge_key(iy, ix, eb)))
+
+    if not segs:
+        return []
+
+    def interp(key: Tuple[int, int, int]) -> Tuple[float, float]:
+        iy, ix, orient = key
+        if orient == 0:   # horizontal edge (ix,iy)→(ix+1,iy)
+            z1, z2 = grid[iy, ix], grid[iy, ix + 1]
+            t = 0.5 if z2 == z1 else (level - z1) / (z2 - z1)
+            return (ix + t, float(iy))
+        z1, z2 = grid[iy, ix], grid[iy + 1, ix]
+        t = 0.5 if z2 == z1 else (level - z1) / (z2 - z1)
+        return (float(ix), iy + t)
+
+    # assemble: adjacency on edge keys
+    from collections import defaultdict
+    adj = defaultdict(list)
+    for a, b in segs:
+        adj[a].append(b)
+        adj[b].append(a)
+
+    visited = set()
+    lines: List[np.ndarray] = []
+    # deterministic order: start from sorted endpoint keys, degree-1 first
+    keys = sorted(adj.keys(), key=lambda k: (len(adj[k]) != 1, k))
+    for start in keys:
+        if start in visited:
+            continue
+        chain = [start]
+        visited.add(start)
+        cur = start
+        while True:
+            nxts = [n for n in adj[cur] if n not in visited]
+            if not nxts:
+                # closed loop check: can we return to start?
+                if len(chain) > 2 and start in adj[cur]:
+                    chain.append(start)
+                break
+            cur = min(nxts)
+            visited.add(cur)
+            chain.append(cur)
+        if len(chain) >= 2:
+            lines.append(np.array([interp(k) for k in chain]))
+    return lines
+
+
+CONTOUR_SCHEMA = ("image_id string, level double, frag_id int, "
+                  "xs array<double>, ys array<double>, closed boolean")
+
+
+def extract_contours(images: DataFrame, step: float = 32.0) -> DataFrame:
+    """Per-image contour extraction: decode bytes → elevation grid (uint8) →
+    marching squares at the reference level series. One output row per
+    polyline fragment. All heavy work in Arrow batches on executors."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("image_id", "level", "frag_id", "xs", "ys", "closed")}
+            for iid, b, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                         pdf["w"], pdf["h"], pdf["fmt"]):
+                grid = decode_image(b, int(w), int(h), fmt).astype(np.float64)
+                levels = contour_levels(float(grid.min()), float(grid.max()), step)
+                fid = 0
+                for lv in levels:
+                    for line in marching_squares(grid, float(lv)):
+                        out["image_id"].append(iid)
+                        out["level"].append(float(lv))
+                        out["frag_id"].append(fid)
+                        out["xs"].append(line[:, 0].tolist())
+                        out["ys"].append(line[:, 1].tolist())
+                        out["closed"].append(
+                            bool(np.all(line[0] == line[-1]) and len(line) > 2))
+                        fid += 1
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+                 .mapInPandas(kernel, schema=CONTOUR_SCHEMA)
+
+
+def _qkey(xc, yc):
+    """quantized endpoint key column (exact-equality join key on floats)"""
+    return (F.round(xc * QUANT).cast("long") * F.lit(1 << 26)
+            + F.round(yc * QUANT).cast("long"))
+
+
+def stitch_contours(frags: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Merge open fragments whose endpoints coincide (within the same
+    image_id + level), iterated to a fixpoint.
+
+    Each round joins fragments A.end == B.start and concatenates; a fragment
+    participates in at most one merge per round (deterministic min-frag_id
+    pairing), so chains of length L resolve in ≤ ceil(log2 L)+1 rounds.
+    """
+    cur = frags
+    for _ in range(max_iter):
+        open_f = cur.filter(~F.col("closed"))
+        closed_f = cur.filter(F.col("closed"))
+        o = open_f.withColumn("_skey", _qkey(F.element_at("xs", 1), F.element_at("ys", 1))) \
+                  .withColumn("_ekey", _qkey(F.element_at("xs", -1), F.element_at("ys", -1)))
+        # pair: A.end == B.start, A.frag_id < B.frag_id chosen deterministically
+        a = o.select(F.col("image_id"), F.col("level"),
+                     F.col("frag_id").alias("a_id"), F.col("xs").alias("a_xs"),
+                     F.col("ys").alias("a_ys"), F.col("_ekey"))
+        b = o.select(F.col("image_id").alias("b_img"), F.col("level").alias("b_lvl"),
+                     F.col("frag_id").alias("b_id"), F.col("xs").alias("b_xs"),
+                     F.col("ys").alias("b_ys"), F.col("_skey"))
+        j = a.join(b, (a["image_id"] == b["b_img"]) & (a["level"] == b["b_lvl"])
+                   & (a["_ekey"] == b["_skey"]) & (a["a_id"] != b["b_id"]))
+        # deterministic 1:1 pairing: keep the min b per a and min a per b
+        from pyspark.sql import Window as W
+        wa = W.partitionBy("image_id", "level", "a_id").orderBy("b_id")
+        wb = W.partitionBy("image_id", "level", "b_id").orderBy("a_id")
+        j = (j.withColumn("_ra", F.row_number().over(wa)).filter("_ra = 1")
+              .withColumn("_rb", F.row_number().over(wb)).filter("_rb = 1"))
+        n_pairs = j.limit(1).count()
+        if n_pairs == 0:
+            break
+        merged = j.select(
+            "image_id", "level", F.col("a_id").alias("frag_id"),
+            F.concat(F.col("a_xs"), F.slice(F.col("b_xs"), 2, 1 << 30)).alias("xs"),
+            F.concat(F.col("a_ys"), F.slice(F.col("b_ys"), 2, 1 << 30)).alias("ys"),
+        ).withColumn("closed",
+                     (_qkey(F.element_at("xs", 1), F.element_at("ys", 1))
+                      == _qkey(F.element_at("xs", -1), F.element_at("ys", -1)))
+                     & (F.size("xs") > 2))
+        consumed = j.select("image_id", "level", F.col("a_id").alias("frag_id")) \
+            .unionByName(j.select("image_id", "level", F.col("b_id").alias("frag_id")))
+        untouched = open_f.join(consumed, ["image_id", "level", "frag_id"], "left_anti")
+        cur = closed_f.unionByName(untouched.select(*closed_f.columns)) \
+                      .unionByName(merged.select(*closed_f.columns))
+        cur = cur.localCheckpoint() if cur.sparkSession.sparkContext else cur
+    return cur
+
+
+def allocate_contour_ids(contours: DataFrame,
+                         start_id: int = 2_000_000_000) -> DataFrame:
+    """Deterministic contiguous id allocation (Srtm2Osm.java:175-189
+    analogue) — rank over (image_id, level, first endpoint), never
+    monotonically_increasing_id (partition-dependent)."""
+    from pyspark.sql import Window as W
+    w = W.orderBy("image_id", "level", F.element_at("xs", 1), F.element_at("ys", 1))
+    return contours.withColumn("contour_id",
+                               F.row_number().over(w) + F.lit(start_id - 1))
+
+
+def prune_by_density(contours: DataFrame, cell: float = 4.0,
+                     budget: int = 64) -> DataFrame:
+    """Segment-density pruning (checkContoursDensity analogue): count
+    segment midpoints per (image, density-cell); drop whole fragments whose
+    mean cell-load exceeds the budget."""
+    mid_x = F.element_at("xs", (F.size("xs") / 2 + 1).cast("int"))
+    mid_y = F.element_at("ys", (F.size("ys") / 2 + 1).cast("int"))
+    keyed = contours.withColumn("_cx", F.floor(mid_x / cell)) \
+                    .withColumn("_cy", F.floor(mid_y / cell))
+    load = keyed.groupBy("image_id", "_cx", "_cy") \
+                .agg(F.sum(F.size("xs")).alias("_load"))
+    return (keyed.join(load, ["image_id", "_cx", "_cy"])
+            .filter(F.col("_load") <= budget * cell)
+            .drop("_cx", "_cy", "_load"))

@@ -1,0 +1,103 @@
+"""k-nearest-neighbor joins over point sets.
+
+Generalizes the reference's city lookup (geo/DefaultCityFinder.java:39-105:
+a lat-sorted array + binary-search band + lon refine — i.e. a broadcast 1-D
+sort-refine index) to two Spark shapes:
+
+- ``knn_broadcast``  neighbor side small (the reference's GeoNames case):
+  broadcast nested-loop + per-query top-k window. No shuffle of the query
+  side beyond the final window.
+- ``knn_grid``       both sides large: equi-join on a degree grid cell with
+  a 3×3 ring expansion (the "k-ring" pattern; the reference's 512×512 grid
+  accelerator re-expressed as a join key, SplitProcessor.java:412-518),
+  then an exact escalation pass — queries whose k-th candidate might be
+  beaten by a point outside the ring (kth distance > distance to ring edge,
+  or < k candidates) are re-run through the broadcast path. For uniform-ish
+  data the escalated fraction is tiny, so the expensive correctness
+  guarantee costs almost nothing.
+
+Distance = squared euclidean in degrees (deterministic double arithmetic:
+dx*dx + dy*dy, ties broken by neighbor id) — same tie discipline as the
+reference's argmax-by-population naming (Main.nameAreas:377-391).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dist2(qlat, qlon, nlat, nlon):
+    dx = qlat - nlat
+    dy = qlon - nlon
+    return dx * dx + dy * dy
+
+
+def knn_broadcast(queries: DataFrame, neighbors: DataFrame, k: int,
+                  q_id: str = "q_id", q_lat: str = "q_lat", q_lon: str = "q_lon",
+                  n_id: str = "n_id", n_lat: str = "n_lat", n_lon: str = "n_lon",
+                  ) -> DataFrame:
+    """Exact kNN with a broadcast neighbor table → (q_id, n_id, rnk)."""
+    j = queries.join(F.broadcast(neighbors))
+    d2 = _dist2(F.col(q_lat), F.col(q_lon), F.col(n_lat), F.col(n_lon))
+    w = Window.partitionBy(q_id).orderBy(d2.asc(), F.col(n_id).asc())
+    return (j.withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= k)
+             .select(q_id, n_id, "rnk"))
+
+
+def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
+             cell_deg: float = 5.0,
+             q_id: str = "q_id", q_lat: str = "q_lat", q_lon: str = "q_lon",
+             n_id: str = "n_id", n_lat: str = "n_lat", n_lon: str = "n_lon",
+             ) -> DataFrame:
+    """Grid-accelerated exact kNN → (q_id, n_id, rnk).
+
+    Phase 1: neighbors explode to their cell's 3×3 neighborhood; equi-join
+    on the query's cell; per-query top-k window.
+    Phase 2: queries not *provably* complete (fewer than k candidates, or
+    k-th distance reaching past the guaranteed-covered radius = one cell
+    width beyond the query's own cell edge) escalate to knn_broadcast.
+    """
+    cell = F.lit(float(cell_deg))
+    qc = queries.select(
+        q_id, q_lat, q_lon,
+        F.floor(F.col(q_lat) / cell).alias("_cx"),
+        F.floor(F.col(q_lon) / cell).alias("_cy"),
+    )
+    # neighbor → 9 cells (its own + ring-1)
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    nc = (neighbors.select(
+            n_id, n_lat, n_lon,
+            F.floor(F.col(n_lat) / cell).alias("_nx"),
+            F.floor(F.col(n_lon) / cell).alias("_ny"),
+            F.explode(offs).alias("_o"))
+          .select(n_id, n_lat, n_lon,
+                  (F.col("_nx") + F.col("_o.dx")).alias("_cx"),
+                  (F.col("_ny") + F.col("_o.dy")).alias("_cy")))
+
+    d2 = _dist2(F.col(q_lat), F.col(q_lon), F.col(n_lat), F.col(n_lon))
+    cand = qc.join(nc, ["_cx", "_cy"], "inner").withColumn("_d2", d2)
+    w = Window.partitionBy(q_id).orderBy(F.col("_d2").asc(), F.col(n_id).asc())
+    topk = cand.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+    # guaranteed-covered radius: distance from the point to the edge of the
+    # 3×3 block = cell_deg + min distance to own cell border, conservatively
+    # cell_deg minus position within cell → use the tight per-query bound.
+    in_cell_lat = F.col(q_lat) - F.col("_cx") * cell
+    in_cell_lon = F.col(q_lon) - F.col("_cy") * cell
+    margin = F.least(in_cell_lat, cell - in_cell_lat,
+                     in_cell_lon, cell - in_cell_lon) + cell
+    per_q = (topk.groupBy(q_id)
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.max("_d2").alias("_kth"),
+                  F.first(margin).alias("_margin")))
+    complete = per_q.filter((F.col("_n") >= k) & (F.col("_kth") <= F.col("_margin") * F.col("_margin")))
+    incomplete_ids = per_q.join(complete.select(q_id), q_id, "left_anti").select(q_id) \
+        .unionByName(queries.select(q_id).join(per_q.select(q_id), q_id, "left_anti"))
+
+    good = topk.join(F.broadcast(complete.select(q_id)), q_id, "left_semi") \
+               .select(q_id, n_id, "rnk")
+    escal_q = queries.join(F.broadcast(incomplete_ids.distinct()), q_id, "left_semi")
+    escal = knn_broadcast(escal_q, neighbors, k, q_id, q_lat, q_lon, n_id, n_lat, n_lon)
+    return good.unionByName(escal)

@@ -1,0 +1,138 @@
+"""Per-tile lineage checkpoints + resumable tiling runs.
+
+Reference semantics being modeled (SURVEY.md §2.9): the contours zip cache
+recomputes only missing cells and double-checks completeness
+(ContoursUpdater.java:91-110,270-326); planet state is tracked by sequence
+number with recovery (PlanetUpdateDownloader.java:74-120). Here the unit of
+resume is the *tile* (stable under AQE re-partitioning — never the Spark
+partition id):
+
+- tiles table      (tile list from the quadtree; persisted so a resumed job
+                    reuses identical boundaries — no re-derivation drift)
+- lineage table    one row per (stage, tile_id): row count + order-
+                    insensitive content digest (sum of xxhash64 over ids)
+- output           parquet partitioned by tile_id; a tile directory is only
+                    trusted if its lineage row exists (write-then-commit)
+
+Iceberg's MERGE/snapshots would subsume the bookkeeping on a real cluster;
+in this container the lineage table is plain parquet appended per run, with
+the same commit-after-write discipline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional, Sequence, Set
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..geo.area import Area
+from ..split.density import collect_density
+from ..split.quadtree import split_area
+from ..operators.tile_join import assign_points_to_tiles
+
+LINEAGE_SCHEMA = ("stage string, tile_id int, n_rows long, digest long, "
+                  "run_id string, ts double")
+
+
+class LineageStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.lineage_dir = os.path.join(root, "_lineage")
+        self.tiles_path = os.path.join(root, "_tiles.json")
+        os.makedirs(self.lineage_dir, exist_ok=True)
+
+    # --- tile list (split stage) ----------------------------------------
+    def save_tiles(self, tiles: Sequence[Area]) -> None:
+        tmp = self.tiles_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([{"tile_id": t.map_id, "min_lat": t.min_lat,
+                        "min_lon": t.min_long, "max_lat": t.max_lat,
+                        "max_lon": t.max_long} for t in tiles], f)
+        os.replace(tmp, self.tiles_path)
+
+    def load_tiles(self) -> Optional[List[Area]]:
+        if not os.path.exists(self.tiles_path):
+            return None
+        with open(self.tiles_path) as f:
+            rows = json.load(f)
+        return [Area(r["min_lat"], r["min_lon"], r["max_lat"], r["max_lon"],
+                     map_id=r["tile_id"]) for r in rows]
+
+    # --- lineage rows -----------------------------------------------------
+    def completed(self, spark: SparkSession, stage: str) -> Set[int]:
+        try:
+            df = spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
+        except Exception:  # noqa: BLE001 — empty dir
+            return set()
+        rows = df.filter(F.col("stage") == stage).select("tile_id").distinct().collect()
+        return {r["tile_id"] for r in rows}
+
+    def commit(self, spark: SparkSession, stage: str, run_id: str,
+               tile_stats: DataFrame) -> None:
+        """tile_stats: (tile_id, n_rows, digest) — appended atomically after
+        the data write succeeds."""
+        now = time.time()
+        out = tile_stats.select(
+            F.lit(stage).alias("stage"), "tile_id", "n_rows", "digest",
+            F.lit(run_id).alias("run_id"), F.lit(now).alias("ts"))
+        out.write.mode("append").parquet(self.lineage_dir)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
+
+
+def tile_digests(assigned: DataFrame, id_col: str) -> DataFrame:
+    """(tile_id, n_rows, digest): order-insensitive content digest —
+    stable under AQE/shuffle nondeterminism; bit_xor never overflows (ANSI
+    mode) at any row count."""
+    return assigned.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(F.xxhash64(F.col(id_col))).alias("digest"))
+
+
+def run_tiling_resumable(points: DataFrame, out_dir: str,
+                         max_nodes: int = 1_600_000, overlap: int = 2000,
+                         resolution: int = 13, id_col: str = "event_id",
+                         lat_col: str = "lat", lon_col: str = "lon",
+                         run_id: str = "run", fail_after_tiles: int = -1,
+                         ) -> dict:
+    """Resumable pass-1 + pass-2: reuses the persisted tile list, skips
+    tiles whose 'assign' lineage rows exist, writes per-tile parquet.
+
+    ``fail_after_tiles`` injects a crash after committing that many tiles
+    (test hook for the kill/resume scenario).
+
+    Returns {"tiles": n, "processed": n_new, "skipped": n_skipped}.
+    """
+    spark = points.sparkSession
+    store = LineageStore(out_dir)
+
+    tiles = store.load_tiles()
+    if tiles is None:
+        grid, exact = collect_density(points, lat_col, lon_col, resolution)
+        if exact is None:
+            return {"tiles": 0, "processed": 0, "skipped": 0}
+        tiles = split_area(grid, exact, resolution, max_nodes)
+        store.save_tiles(tiles)
+
+    done = store.completed(spark, "assign")
+    pending = [t for t in tiles if t.map_id not in done]
+    if fail_after_tiles >= 0:
+        pending = pending[:fail_after_tiles]
+
+    processed = 0
+    if pending:
+        assigned = assign_points_to_tiles(
+            points, pending, overlap, lat_col, lon_col)
+        data_dir = os.path.join(out_dir, "assigned")
+        (assigned.write.mode("append").partitionBy("tile_id")
+         .parquet(data_dir))
+        stats = tile_digests(assigned, id_col)
+        store.commit(spark, "assign", run_id, stats)
+        processed = len(pending)
+
+    return {"tiles": len(tiles), "processed": processed,
+            "skipped": len(tiles) - len(pending) if fail_after_tiles < 0 else len(done)}

@@ -1,0 +1,732 @@
+"""Driver-contract query surface: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 over the
+driver-provided parquet tables. Conventions that make the value-hash
+comparison deterministic across engines:
+
+- money math in integer cents: per-row ROUND(x*100) (values are exact-cent
+  decimals, so rounding is unambiguous), all sums in BIGINT — no float
+  accumulation order issues.
+- distances/similarities never emitted; only integer ranks with id
+  tie-breaks.
+- the map-unit codec / derived lat-lon use the identical double expression
+  order in both engines (expressions.py twins).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .expressions import (derived_lat, derived_lat_sql, derived_lon,
+                          derived_lon_sql, map_unit, map_unit_sql)
+from .geo.area import Area, PLANET, round_area
+from .functions import text as T
+from .functions import dedup as D
+from .functions import similarity as S
+from .operators.knn import knn_grid
+from .operators.pip import points_in_polygon
+from .operators.tile_join import assign_points_to_tiles
+from .operators.group_join import assign_groups_to_tiles
+from .pipeline.tiling import run_tiling_pipeline
+
+# ---------------------------------------------------------------------------
+# shared fixtures
+# ---------------------------------------------------------------------------
+
+_RES = 13
+_B = round_area(PLANET, _RES)
+_SHIFT = 24 - _RES
+_W = _B.width >> _SHIFT
+_H = _B.height >> _SHIFT
+
+#: fixed regression tile set (aligned map-unit bboxes, overlapping coverage
+#: around the metro/derived-point hot spots) + overlap for extended bounds
+_OVERLAP = 2000
+_FIXED_TILES = [
+    Area(-4096000, -8192000, 0, 0, map_id=1),
+    Area(0, -8192000, 4096000, 0, map_id=2),
+    Area(-4096000, 0, 0, 8192000, map_id=3),
+    Area(0, 0, 4096000, 8192000, map_id=4),
+    Area(1740800, -3567616, 2097152, -3276800, map_id=5),   # ~NYC metro
+    Area(2297856, -262144, 2500608, 262144, map_id=6),      # ~London
+    Area(1536000, 6291456, 1740800, 6815744, map_id=7),     # ~Tokyo-ish
+    Area(-2048, -2048, 2048, 2048, map_id=8),               # tiny origin tile
+]
+
+#: convex hexagon for the PIP query, (lat, lon) CCW
+_HEX = [(0.0, -40.0), (-20.0, -20.0), (-20.0, 20.0), (0.0, 40.0),
+        (20.0, 20.0), (20.0, -20.0)]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100, 0).cast("long")
+
+
+def _cents_sql(col: str) -> str:
+    return f"CAST(round({col} * 100, 0) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# relational core (scan/filter/agg/join/window/set-op operators)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    price = _cents(F.col("l_extendedprice"))
+    disc = _cents(F.col("l_discount"))
+    tax = _cents(F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1999-06-30"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(price).alias("sum_base_cents"),
+                 F.sum(price * (100 - disc)).alias("sum_disc_pc"),
+                 F.sum(price * (100 - disc) * (100 + tax)).alias("sum_charge_pc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM({_cents_sql('l_extendedprice')}) AS sum_base_cents,
+       SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})) AS sum_disc_pc,
+       SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})
+           * (100 + {_cents_sql('l_tax')})) AS sum_charge_pc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-01"))
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01"))
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return (j.groupBy("l_orderkey", "o_orderpriority")
+             .agg(F.sum(rev).alias("revenue_pc"))
+             .orderBy(F.col("revenue_pc").desc(), F.col("l_orderkey").asc())
+             .limit(10))
+
+
+_Q3_SQL = f"""
+SELECT l_orderkey, o_orderpriority,
+       SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})) AS revenue_pc
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue_pc DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_volume(spark, sf_dir):
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(cust, orders.o_custkey == cust.c_custkey)
+           .join(supp, li.l_suppkey == supp.s_suppkey)
+           .filter(cust.c_nationkey == supp.s_nationkey)
+           .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+           .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    return (j.groupBy("n_name").agg(F.sum(rev).alias("revenue_pc"))
+             .orderBy(F.col("revenue_pc").desc()))
+
+
+_Q5_SQL = f"""
+SELECT n_name,
+       SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})) AS revenue_pc
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue_pc DESC
+"""
+
+
+def top3_orders_per_customer(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    price = _cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy(price.desc(), F.col("o_orderkey").asc())
+    return (orders.withColumn("price_cents", price)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey", "price_cents", "rnk"))
+
+
+_TOP3_SQL = f"""
+SELECT o_custkey, o_orderkey, {_cents_sql('o_totalprice')} AS price_cents, rnk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY {_cents_sql('o_totalprice')} DESC, o_orderkey ASC) AS rnk
+      FROM orders) t
+WHERE rnk <= 3
+"""
+
+
+def rollup_order_stats(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(_cents(F.col("o_totalprice"))).alias("sum_price_cents")))
+
+
+_ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       SUM({_cents_sql('o_totalprice')}) AS sum_price_cents
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def customers_without_orders(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_mktsegment"))
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def parts_with_heavy_lineitems(spark, sf_dir):
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+            .select("p_partkey", "p_brand"))
+
+
+_SEMI_SQL = """
+SELECT p_partkey, p_brand FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_quantity >= 48)
+"""
+
+
+def events_hourly_rollup(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy("event_type",
+                       F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(_cents(F.col("value"))).alias("sum_value_cents")))
+
+
+_HOURLY_SQL = f"""
+SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+       COUNT(*) AS n_events, SUM({_cents_sql('value')}) AS sum_value_cents
+FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d %H')
+"""
+
+
+def sessionize_events(spark, sf_dir):
+    """session = run of events per user with gaps ≤ 30 min; emits per-user
+    session count + max session length (ordering-sensitive window op)."""
+    ev = _read(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(epoch.asc(), F.col("event_id").asc())
+    new_sess = F.when(epoch - F.lag(epoch, 1).over(w) > 1800, 1).otherwise(0)
+    with_sess = (ev.withColumn("_new", F.coalesce(new_sess, F.lit(0)))
+                 .withColumn("_sess", F.sum("_new").over(
+                     w.rowsBetween(Window.unboundedPreceding, 0))))
+    per_sess = with_sess.groupBy("user_id", "_sess").agg(F.count(F.lit(1)).alias("n"))
+    return (per_sess.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.max("n").alias("max_session_events")))
+
+
+_SESSION_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, e,
+         CASE WHEN e - LAG(e) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY e ASC, event_id ASC)
+), sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY e ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+), per AS (
+  SELECT user_id, sess_id, COUNT(*) AS n FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
+FROM per GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# spatial operators (density, tile join, way join, kNN, PIP)
+# ---------------------------------------------------------------------------
+
+def _event_points(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.select("event_id",
+                     derived_lat(F.col("event_id")).alias("lat"),
+                     derived_lon(F.col("event_id")).alias("lon"))
+
+
+_EVENT_POINTS_SQL = (
+    f"SELECT event_id, {derived_lat_sql('event_id')} AS lat, "
+    f"{derived_lon_sql('event_id')} AS lon FROM events"
+)
+
+
+def density_histogram(spark, sf_dir):
+    """reference pass-1: res-13 map-unit cell counts
+    (DensityMap.addNode semantics, DensityMap.java:63-78)."""
+    pts = _event_points(spark, sf_dir)
+    lat_mu = map_unit(F.col("lat"))
+    lon_mu = map_unit(F.col("lon"))
+    inside = ((lat_mu >= _B.min_lat) & (lat_mu <= _B.max_lat)
+              & (lon_mu >= _B.min_long) & (lon_mu <= _B.max_long))
+    x = F.least(F.shiftright(lon_mu - _B.min_long, _SHIFT), F.lit(_W - 1))
+    y = F.least(F.shiftright(lat_mu - _B.min_lat, _SHIFT), F.lit(_H - 1))
+    return (pts.filter(inside)
+            .groupBy(x.alias("cell_x"), y.alias("cell_y"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+_DENSITY_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+mu AS (
+  SELECT event_id, {map_unit_sql('lat')} AS lat_mu, {map_unit_sql('lon')} AS lon_mu
+  FROM pts
+)
+SELECT LEAST((lon_mu - {_B.min_long}) // {1 << _SHIFT}, {_W - 1}) AS cell_x,
+       LEAST((lat_mu - {_B.min_lat}) // {1 << _SHIFT}, {_H - 1}) AS cell_y,
+       COUNT(*) AS cnt
+FROM mu
+WHERE lat_mu BETWEEN {_B.min_lat} AND {_B.max_lat}
+  AND lon_mu BETWEEN {_B.min_long} AND {_B.max_long}
+GROUP BY 1, 2
+"""
+
+
+def _tiles_values_sql() -> str:
+    rows = ", ".join(
+        f"({t.map_id}, {t.min_lat - _OVERLAP}, {t.min_long - _OVERLAP}, "
+        f"{t.max_lat + _OVERLAP}, {t.max_long + _OVERLAP})"
+        for t in _FIXED_TILES)
+    return (f"(VALUES {rows}) AS tiles(tile_id, t_min_lat, t_min_lon, "
+            f"t_max_lat, t_max_lon)")
+
+
+def tile_assign_fixed(spark, sf_dir):
+    """point→tile multi-assignment against the fixed regression tile set
+    (SplitProcessor.writeNode semantics: closed extended bounds, one output
+    row per containing tile, non-matching rows dropped)."""
+    pts = _event_points(spark, sf_dir)
+    assigned = assign_points_to_tiles(pts, _FIXED_TILES, overlap=_OVERLAP)
+    return assigned.select("event_id", "tile_id")
+
+
+_TILE_ASSIGN_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+mu AS (
+  SELECT event_id, {map_unit_sql('lat')} AS lat_mu, {map_unit_sql('lon')} AS lon_mu
+  FROM pts
+)
+SELECT event_id, tile_id
+FROM mu, {_tiles_values_sql()}
+WHERE lat_mu BETWEEN t_min_lat AND t_max_lat
+  AND lon_mu BETWEEN t_min_lon AND t_max_lon
+"""
+
+
+def way_tileset(spark, sf_dir):
+    """way→tile semi-join analogue: orders are 'ways', their lineitems'
+    part points are member 'nodes' (SplitProcessor.processWay:106-125 —
+    way tile-set = union of member node tile-sets). Output exploded
+    distinct (group_id, tile_id)."""
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        derived_lat(F.col("p_partkey") + 500000).alias("lat"),
+        derived_lon(F.col("p_partkey") + 500000).alias("lon"))
+    node_tiles = assign_points_to_tiles(part, _FIXED_TILES, overlap=_OVERLAP) \
+        .select(F.col("p_partkey").alias("node_id"), "tile_id")
+    members = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("group_id"), F.col("l_partkey").alias("ref"))
+    grouped = assign_groups_to_tiles(members, node_tiles, "group_id", "ref", "node_id")
+    return (grouped.select("group_id", F.explode("tile_ids").alias("tile_id"))
+            .distinct())
+
+
+_WAY_SQL = f"""
+WITH ppts AS (
+  SELECT p_partkey, {derived_lat_sql('(p_partkey + 500000)')} AS lat,
+         {derived_lon_sql('(p_partkey + 500000)')} AS lon
+  FROM part
+), pmu AS (
+  SELECT p_partkey, {map_unit_sql('lat')} AS lat_mu, {map_unit_sql('lon')} AS lon_mu
+  FROM ppts
+), node_tiles AS (
+  SELECT p_partkey, tile_id
+  FROM pmu, {_tiles_values_sql()}
+  WHERE lat_mu BETWEEN t_min_lat AND t_max_lat
+    AND lon_mu BETWEEN t_min_lon AND t_max_lon
+)
+SELECT DISTINCT l_orderkey AS group_id, tile_id
+FROM lineitem JOIN node_tiles ON l_partkey = p_partkey
+"""
+
+
+def knn_customers_suppliers(spark, sf_dir):
+    """grid-accelerated exact 3-NN: customer points → supplier points
+    (generalizes DefaultCityFinder.java:39-105 sort-refine)."""
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("q_id"),
+        derived_lat(F.col("c_custkey") + 900000).alias("q_lat"),
+        derived_lon(F.col("c_custkey") + 900000).alias("q_lon"))
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("n_id"),
+        derived_lat(F.col("s_suppkey") + 300000).alias("n_lat"),
+        derived_lon(F.col("s_suppkey") + 300000).alias("n_lon"))
+    out = knn_grid(cust, supp, k=3, cell_deg=45.0)
+    return out.select(F.col("q_id").alias("c_custkey"),
+                      F.col("n_id").alias("s_suppkey"), "rnk")
+
+
+_KNN_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, {derived_lat_sql('(c_custkey + 900000)')} AS q_lat,
+         {derived_lon_sql('(c_custkey + 900000)')} AS q_lon
+  FROM customer
+), supp AS (
+  SELECT s_suppkey, {derived_lat_sql('(s_suppkey + 300000)')} AS n_lat,
+         {derived_lon_sql('(s_suppkey + 300000)')} AS n_lon
+  FROM supplier
+), ranked AS (
+  SELECT c_custkey, s_suppkey,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+             ORDER BY (q_lat - n_lat) * (q_lat - n_lat)
+                      + (q_lon - n_lon) * (q_lon - n_lon) ASC,
+                      s_suppkey ASC) AS rnk
+  FROM cust, supp
+)
+SELECT c_custkey, s_suppkey, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+def pip_hexagon(spark, sf_dir):
+    """point-in-polygon via vectorized ray casting (Region .poly semantics)."""
+    pts = _event_points(spark, sf_dir)
+    flagged = points_in_polygon(pts, _HEX)
+    return flagged.filter(F.col("inside")).select("event_id")
+
+
+def _hex_halfplanes_sql() -> str:
+    conds = []
+    n = len(_HEX)
+    for i in range(n):
+        y1, x1 = _HEX[i]
+        y2, x2 = _HEX[(i + 1) % n]
+        # CCW in (lon, lat) plane: cross((p2-p1),(pt-p1)) > 0
+        conds.append(
+            f"(({x2} - ({x1})) * (lat - ({y1})) - ({y2} - ({y1})) * (lon - ({x1}))) > 0")
+    return " AND ".join(conds)
+
+
+_PIP_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL})
+SELECT event_id FROM pts WHERE {_hex_halfplanes_sql()}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity
+# ---------------------------------------------------------------------------
+
+def doc_text_features(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+        T.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+def _lang_guess_sql(col: str) -> str:
+    padded = f"(' ' || {col} || ' ')"
+    score = {}
+    for lang, words in T.LANG_STOPWORDS.items():
+        parts = [
+            f"(length({padded}) - length(replace({padded}, ' {wd} ', ''))) // {len(wd) + 2}"
+            for wd in words]
+        score[lang] = "(" + " + ".join(parts) + ")"
+    # forward first-strictly-greater scan, same as text.lang_guess
+    result = "'unknown'"
+    running = "CAST(0 AS BIGINT)"
+    for lang, s in score.items():
+        result = f"CASE WHEN {s} > {running} THEN '{lang}' ELSE {result} END"
+        running = f"CASE WHEN {s} > {running} THEN {s} ELSE {running} END"
+    return result
+
+
+_TEXT_FEATURES_SQL = f"""
+SELECT doc_id,
+       {T.token_count_sql('text')} AS n_tokens,
+       {T.quality_score_sql('text')} AS quality,
+       {_lang_guess_sql('text')} AS lang_guess
+FROM documents
+"""
+
+
+def doc_fingerprints(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+_FP_SQL = f"""
+SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents
+"""
+
+
+def doc_simhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
+
+
+_SIMHASH_SQL = f"""
+SELECT doc_id, {D.simhash16_sql('text')} AS simhash FROM documents
+"""
+
+
+def exact_dedup_docs(spark, sf_dir):
+    """exact dedup on (lang, first-24-chars) — keep min doc_id per group."""
+    docs = _read(spark, sf_dir, "documents") \
+        .withColumn("k", F.substring("text", 1, 24))
+    kept = D.exact_dedup(docs, ["lang", "k"], "doc_id")
+    return kept.select("doc_id")
+
+
+_DEDUP_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY lang, substr(text, 1, 24)
+                                    ORDER BY doc_id ASC) AS rn
+  FROM documents) t
+WHERE rn = 1
+"""
+
+
+def jaccard_pairs_docs(spark, sf_dir):
+    """exact unigram-Jaccard near-dup pairs on a doc subset (≥0.6)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.6)
+    return out.select("doc_a", "doc_b", "inter", "sz_a", "sz_b")
+
+
+_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id < 300
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * (1.0 / 0.6) >= (sa.sz + sb.sz - inter)
+"""
+
+
+def embed_top3(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    corpus = emb.select(F.col("vec_id").alias("c_id"),
+                        F.col("embedding").alias("c_vec"))
+    out = S.cosine_topk(queries, corpus, k=3)
+    return out.select("q_id", "c_id", "rnk")
+
+
+_EMBED_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+ranked AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY list_cosine_similarity(q_vec, c_vec) DESC, c_id ASC) AS rnk
+  FROM q, c WHERE q_id <> c_id
+)
+SELECT q_id, c_id, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+def apply_changes_events(spark, sf_dir):
+    """incremental merge (osmosis apply-change ≙ Iceberg MERGE semantics):
+    base snapshot = events; synthetic change stream = modifies (id%10==3),
+    deletes (id%10==7), creates (new ids); returns the new snapshot."""
+    from .streaming.incremental import apply_changes
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select("event_id", "event_type", _cents(F.col("value")).alias("value_cents"))
+    mods = (ev.filter(F.col("event_id") % 10 == 3)
+            .select("event_id", "event_type",
+                    (_cents(F.col("value")) + 100).alias("value_cents"),
+                    F.lit("modify").alias("action"), F.lit(2).alias("version")))
+    dels = (ev.filter(F.col("event_id") % 10 == 7)
+            .select("event_id", "event_type", _cents(F.col("value")).alias("value_cents"),
+                    F.lit("delete").alias("action"), F.lit(2).alias("version")))
+    creates = (ev.filter(F.col("event_id") % 50 == 0)
+               .select((F.col("event_id") + 10000000).alias("event_id"),
+                       F.lit("synthetic").alias("event_type"),
+                       F.lit(777).cast("long").alias("value_cents"),
+                       F.lit("create").alias("action"), F.lit(1).alias("version")))
+    changes = mods.unionByName(dels).unionByName(creates)
+    return apply_changes(base, changes, "event_id")
+
+
+_APPLY_SQL = f"""
+WITH base AS (
+  SELECT event_id, event_type, {_cents_sql('value')} AS value_cents FROM events
+), changes AS (
+  SELECT event_id, event_type, {_cents_sql('value')} + 100 AS value_cents,
+         'modify' AS action FROM events WHERE event_id % 10 = 3
+  UNION ALL
+  SELECT event_id, event_type, {_cents_sql('value')} AS value_cents,
+         'delete' AS action FROM events WHERE event_id % 10 = 7
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, 'synthetic' AS event_type,
+         CAST(777 AS BIGINT) AS value_cents, 'create' AS action
+  FROM events WHERE event_id % 50 = 0
+)
+SELECT event_id, event_type, value_cents FROM base
+WHERE event_id NOT IN (SELECT event_id FROM changes)
+UNION ALL
+SELECT event_id, event_type, value_cents FROM changes WHERE action <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+def tiling_pipeline_counts(spark, sf_dir):
+    """full reference pipeline: density → driver quadtree → assignment →
+    per-tile counts (tile boundaries included for regression eyeballs)."""
+    pts = _event_points(spark, sf_dir)
+    res = run_tiling_pipeline(pts, max_nodes=200, overlap=_OVERLAP)
+    if res is None:
+        return spark.createDataFrame([], "tile_id int, n_rows long")
+    return res.counts.orderBy("tile_id")
+
+
+def image_decode_stats(spark, sf_dir):
+    """multimodal path: synthesize deterministic images for each document id
+    and run the distributed decode/stat kernel (mapInPandas, Arrow batches)."""
+    from .pipeline.synth import _gen_map
+    from .operators.raster import decode_stats
+    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
+                              "w int, h int, fmt string, caption string, phash long")
+    return decode_stats(images).select("image_id", "p_min", "p_max")
+
+
+def minhash_candidates(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (scale path for jaccard_pairs_docs)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = D.minhash_lsh_pairs(docs, "doc_id", "text", n=1, num_hashes=16, bands=8)
+    return out.select("doc_a", "doc_b")
+
+
+def ann_lsh_top3(spark, sf_dir):
+    """LSH-bucketed approximate top-3 (compare with embed_top3 for recall)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    corpus = emb.select(F.col("vec_id").alias("c_id"),
+                        F.col("embedding").alias("c_vec"))
+    out = S.ann_lsh_topk(queries, corpus, k=3, dim=64, num_planes=6)
+    return out.select("q_id", "c_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_volume": q5_region_volume,
+        "top3_orders_per_customer": top3_orders_per_customer,
+        "rollup_order_stats": rollup_order_stats,
+        "customers_without_orders": customers_without_orders,
+        "parts_with_heavy_lineitems": parts_with_heavy_lineitems,
+        "events_hourly_rollup": events_hourly_rollup,
+        "sessionize_events": sessionize_events,
+        "density_histogram": density_histogram,
+        "tile_assign_fixed": tile_assign_fixed,
+        "way_tileset": way_tileset,
+        "knn_customers_suppliers": knn_customers_suppliers,
+        "pip_hexagon": pip_hexagon,
+        "doc_text_features": doc_text_features,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_simhash": doc_simhash,
+        "exact_dedup_docs": exact_dedup_docs,
+        "jaccard_pairs_docs": jaccard_pairs_docs,
+        "embed_top3": embed_top3,
+        "apply_changes_events": apply_changes_events,
+        "tiling_pipeline_counts": tiling_pipeline_counts,
+        "image_decode_stats": image_decode_stats,
+        "minhash_candidates": minhash_candidates,
+        "ann_lsh_top3": ann_lsh_top3,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_region_volume": _Q5_SQL,
+        "top3_orders_per_customer": _TOP3_SQL,
+        "rollup_order_stats": _ROLLUP_SQL,
+        "customers_without_orders": _ANTI_SQL,
+        "parts_with_heavy_lineitems": _SEMI_SQL,
+        "events_hourly_rollup": _HOURLY_SQL,
+        "sessionize_events": _SESSION_SQL,
+        "density_histogram": _DENSITY_SQL,
+        "tile_assign_fixed": _TILE_ASSIGN_SQL,
+        "way_tileset": _WAY_SQL,
+        "knn_customers_suppliers": _KNN_SQL,
+        "pip_hexagon": _PIP_SQL,
+        "doc_text_features": _TEXT_FEATURES_SQL,
+        "doc_fingerprints": _FP_SQL,
+        "doc_simhash": _SIMHASH_SQL,
+        "exact_dedup_docs": _DEDUP_SQL,
+        "jaccard_pairs_docs": _JACCARD_SQL,
+        "embed_top3": _EMBED_SQL,
+        "apply_changes_events": _APPLY_SQL,
+        # tiling_pipeline_counts / image_decode_stats / minhash_candidates /
+        # ann_lsh_top3: non-SQL-expressible (driver quadtree, binary decode,
+        # LSH buckets) → rows-only check
+    }

@@ -1,0 +1,72 @@
+"""Kill/resume: a crashed run's completed tiles are not recomputed, and the
+resumed output is identical to a single-shot run (SURVEY.md §5 item 4)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2garmin_spark.expressions import derived_lat, derived_lon
+from osm2garmin_spark.pipeline.lineage import LineageStore, run_tiling_resumable
+
+
+@pytest.fixture()
+def points(spark):
+    return spark.range(0, 3000).select(
+        F.col("id").alias("event_id"),
+        derived_lat(F.col("id")).alias("lat"),
+        derived_lon(F.col("id")).alias("lon"))
+
+
+def _read_assigned(spark, d):
+    return spark.read.parquet(os.path.join(d, "assigned")) \
+        .select("event_id", "tile_id")
+
+
+def test_resume_skips_completed(spark, points, tmp_path):
+    d_crash = str(tmp_path / "crash")
+    d_clean = str(tmp_path / "clean")
+
+    # single-shot reference run
+    r = run_tiling_resumable(points, d_clean, max_nodes=300, run_id="r0")
+    assert r["processed"] == r["tiles"] > 3
+
+    # crashed run: commits only 2 tiles then "dies"
+    r1 = run_tiling_resumable(points, d_crash, max_nodes=300,
+                              run_id="r1", fail_after_tiles=2)
+    assert r1["processed"] == 2
+
+    store = LineageStore(d_crash)
+    done_before = store.completed(spark, "assign")
+    assert len(done_before) == 2
+
+    # resume: must process exactly the remaining tiles
+    r2 = run_tiling_resumable(points, d_crash, max_nodes=300, run_id="r2")
+    assert r2["processed"] == r2["tiles"] - 2
+    assert r2["skipped"] == 2
+
+    # completed tiles were not recomputed: their lineage rows still carry run r1
+    lin = store.read(spark).filter("stage = 'assign'")
+    runs = {r_["tile_id"]: r_["run_id"] for r_ in lin.collect()}
+    for t in done_before:
+        assert runs[t] == "r1"
+
+    # outputs identical to the single-shot run
+    a = sorted(map(tuple, _read_assigned(spark, d_crash).collect()))
+    b = sorted(map(tuple, _read_assigned(spark, d_clean).collect()))
+    assert a == b
+
+    # digests per tile match between the two runs
+    dig_crash = {(r_["tile_id"]): (r_["n_rows"], r_["digest"])
+                 for r_ in LineageStore(d_crash).read(spark).collect()}
+    dig_clean = {(r_["tile_id"]): (r_["n_rows"], r_["digest"])
+                 for r_ in LineageStore(d_clean).read(spark).collect()}
+    assert dig_crash == dig_clean
+
+
+def test_rerun_is_noop(spark, points, tmp_path):
+    d = str(tmp_path / "noop")
+    run_tiling_resumable(points, d, max_nodes=300, run_id="a")
+    r = run_tiling_resumable(points, d, max_nodes=300, run_id="b")
+    assert r["processed"] == 0

@@ -1,0 +1,56 @@
+"""Structured Streaming + incremental merge semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2garmin_spark.streaming import (
+    apply_changes, compact_changes, stream_hourly_counts, stream_sessionize,
+)
+from osm2garmin_spark.streaming.stream_ops import run_stream_to_memory
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def test_compact_changes_latest_wins(spark):
+    rows = [(1, "create", 1, "a"), (1, "modify", 2, "b"), (1, "modify", 3, "c"),
+            (2, "create", 1, "x"), (2, "delete", 1, "y")]
+    df = spark.createDataFrame(rows, "id long, action string, version int, v string")
+    out = {r["id"]: (r["action"], r["v"]) for r in compact_changes(df, "id").collect()}
+    assert out[1] == ("modify", "c")
+    assert out[2] == ("delete", "y")  # delete wins at equal version
+
+
+def test_apply_changes_merge(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    changes = spark.createDataFrame(
+        [(2, "B", "modify", 1), (3, "c", "delete", 1), (4, "d", "create", 1)],
+        "id long, v string, action string, version int")
+    out = {r["id"]: r["v"] for r in apply_changes(base, changes, "id").collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_stream_hourly_matches_batch(spark, events, tmp_path):
+    src_dir = str(tmp_path / "stream_src")
+    events.write.parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+
+    name = run_stream_to_memory(stream_hourly_counts(stream), "hourly_t")
+    got = {(r["window_start"], r["event_type"]): r["n_events"]
+           for r in spark.sql(f"select * from {name}").collect()}
+    want = {(r["window_start"], r["event_type"]): r["n_events"]
+            for r in stream_hourly_counts(events).collect()}
+    assert got == want
+    assert len(want) > 10
+
+
+def test_stream_sessionize_batch_mode(spark, events):
+    out = stream_sessionize(events).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1

@@ -1,0 +1,77 @@
+"""Two-parallelism scaling evidence (north_rule: ≥0.8 efficiency N→4N).
+
+No real cluster in this sandbox, so the same tiling job runs at local[8]
+(N) and local[32] (4N) in separate JVMs (subprocesses) over the identical
+deterministic corpus; reports rows-joined+tiled/sec at each level and
+efficiency = throughput(4N) / (4 × throughput(N)), appended to BENCH.md.
+
+Usage: python tools/bench_scaling.py [--rows 4000000] [--n 8] [--xn 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(cores: int, rows: int) -> dict:
+    env = dict(os.environ, BENCH_CORPUS_ROWS=str(rows),
+               SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                                 "/root/testdata/sf0.1"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cores", str(cores),
+         "--only", "tiling_pipeline_2m_images", "--corpus-rows", str(rows)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800)
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--xn", type=int, default=32)
+    args = ap.parse_args()
+
+    lo = run_once(args.n, args.rows)
+    hi = run_once(args.xn, args.rows)
+    t_lo = lo["queries"]["tiling_pipeline_2m_images"]
+    t_hi = hi["queries"]["tiling_pipeline_2m_images"]
+    thr_lo = lo["tile_assignments"] / t_lo
+    thr_hi = hi["tile_assignments"] / t_hi
+    eff = thr_hi / ((args.xn / args.n) * thr_lo)
+
+    result = {
+        "corpus_rows": args.rows,
+        "assignments": lo["tile_assignments"],
+        "n_tiles": lo["n_tiles"],
+        f"local[{args.n}]_sec": t_lo,
+        f"local[{args.xn}]_sec": t_hi,
+        f"throughput_{args.n}_rows_per_sec": round(thr_lo, 1),
+        f"throughput_{args.xn}_rows_per_sec": round(thr_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "target": ">= 0.8",
+    }
+    print(json.dumps(result, indent=2))
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(f"\n## Scaling run {stamp}\n\n")
+        f.write(f"Same tiling job (synth corpus {args.rows:,} rows → density "
+                f"scan → quadtree → broadcast assignment join, count) at two "
+                f"parallelism levels, separate JVMs:\n\n")
+        f.write("| parallelism | wall sec | rows joined+tiled/sec |\n|---|---|---|\n")
+        f.write(f"| local[{args.n}] (N) | {t_lo} | {thr_lo:,.0f} |\n")
+        f.write(f"| local[{args.xn}] (4N) | {t_hi} | {thr_hi:,.0f} |\n\n")
+        f.write(f"**Scaling efficiency = {thr_hi:,.0f} / (4 × {thr_lo:,.0f}) "
+                f"= {eff:.3f}** (target ≥ 0.8)\n")
+
+
+if __name__ == "__main__":
+    main()
