@@ -60,3 +60,44 @@ def points_in_polygon(points: DataFrame, poly: Sequence[Tuple[float, float]],
         flag_col,
         F.when(in_bbox, _pip(F.col(lat_col), F.col(lon_col))).otherwise(F.lit(False)),
     )
+
+
+def pip_join(points: DataFrame, polygons: List[Tuple[int, Sequence[Tuple[float, float]]]],
+             lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Multi-polygon containment join: one output row per (point, containing
+    polygon). ``polygons`` = [(poly_id, [(lat, lon), ...]), ...], broadcast
+    as task-closure state (region tables are small — the reference's .poly
+    regions). Candidates pre-filtered per-polygon by bbox inside the kernel;
+    the Python cost is O(batch × total_edges) numpy ops."""
+    polys = [(int(pid), [(float(a), float(b)) for a, b in pv]) for pid, pv in polygons]
+    bboxes = [(pid, min(p[0] for p in pv), max(p[0] for p in pv),
+               min(p[1] for p in pv), max(p[1] for p in pv), pv)
+              for pid, pv in polys]
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lats = pdf[lat_col].to_numpy(np.float64)
+            lons = pdf[lon_col].to_numpy(np.float64)
+            frames = []
+            for pid, lat0, lat1, lon0, lon1, pv in bboxes:
+                cand = ((lats >= lat0) & (lats <= lat1)
+                        & (lons >= lon0) & (lons <= lon1))
+                if not cand.any():
+                    continue
+                idx = np.nonzero(cand)[0]
+                ins = ray_cast(lats[idx], lons[idx], pv)
+                hit = idx[ins]
+                if len(hit):
+                    sub = pdf.iloc[hit].copy()
+                    sub["poly_id"] = pid
+                    frames.append(sub)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pdf.iloc[0:0].assign(poly_id=np.array([], dtype=np.int32))
+
+    # StructType.add mutates in place — build a fresh copy
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    out_schema = StructType(list(points.schema.fields)
+                            + [StructField("poly_id", IntegerType())])
+    return points.mapInPandas(kernel, schema=out_schema)

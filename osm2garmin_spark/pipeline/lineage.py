@@ -125,10 +125,15 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
 
     processed = 0
     if pending:
+        from ..operators.skew import salted_repartition
+
         assigned = assign_points_to_tiles(
             points, pending, overlap, lat_col, lon_col)
         data_dir = os.path.join(out_dir, "assigned")
-        (assigned.write.mode("append").partitionBy("tile_id")
+        # deterministic salt spreads hot (metro) tiles over many writer
+        # tasks; on-disk layout stays partitionBy(tile_id) only
+        (salted_repartition(assigned, "tile_id", id_col, salt_n=8)
+         .write.mode("append").partitionBy("tile_id")
          .parquet(data_dir))
         stats = tile_digests(assigned, id_col)
         store.commit(spark, "assign", run_id, stats)

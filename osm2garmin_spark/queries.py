@@ -394,6 +394,113 @@ FROM lineitem JOIN node_tiles ON l_partkey = p_partkey
 """
 
 
+def cell_encode(spark, sf_dir):
+    """hierarchical cell encoding (H3/S2 analogue): Z-order cell ids at
+    res 5–9 for every event point — pure JVM bit arithmetic (geo/cells.py)."""
+    from .geo.cells import cell_id_col
+
+    pts = _event_points(spark, sf_dir)
+    lat_mu = map_unit(F.col("lat"))
+    lon_mu = map_unit(F.col("lon"))
+    cols = [F.col("event_id")]
+    for res in range(5, 10):
+        cols.append(cell_id_col(lat_mu, lon_mu, res).alias(f"cell_r{res}"))
+    return pts.select(*cols)
+
+
+def _cell_encode_sql() -> str:
+    from .geo.cells import cell_id_sql
+    parts = ["event_id"]
+    for res in range(5, 10):
+        parts.append(f"{cell_id_sql('lat_mu', 'lon_mu', res)} AS cell_r{res}")
+    sel = ", ".join(parts)
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+mu AS (
+  SELECT event_id, {map_unit_sql('lat')} AS lat_mu, {map_unit_sql('lon')} AS lon_mu
+  FROM pts
+)
+SELECT {sel} FROM mu
+"""
+
+
+def relation_tileset(spark, sf_dir):
+    """relation→tile union (SplitProcessor.processRelation:128-166):
+    relations = nations; node members = customer points, way members =
+    orders (whose tile-sets come from the way join). Output exploded
+    distinct (rel_id, tile_id)."""
+    from .operators.group_join import assign_relations_to_tiles, assign_groups_to_tiles
+
+    cust = _read(spark, sf_dir, "customer")
+    cust_pts = cust.select(
+        "c_custkey", "c_nationkey",
+        derived_lat(F.col("c_custkey") + 900000).alias("lat"),
+        derived_lon(F.col("c_custkey") + 900000).alias("lon"))
+    node_tiles = assign_points_to_tiles(cust_pts, _FIXED_TILES, overlap=_OVERLAP) \
+        .select(F.col("c_custkey").alias("node_id"), "tile_id")
+
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        derived_lat(F.col("p_partkey") + 500000).alias("lat"),
+        derived_lon(F.col("p_partkey") + 500000).alias("lon"))
+    part_tiles = assign_points_to_tiles(part, _FIXED_TILES, overlap=_OVERLAP) \
+        .select(F.col("p_partkey").alias("node_id"), "tile_id")
+    members = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("group_id"), F.col("l_partkey").alias("ref"))
+    way_tiles = assign_groups_to_tiles(members, part_tiles, "group_id", "ref", "node_id")
+
+    orders = _read(spark, sf_dir, "orders")
+    rel_members = (
+        cust.select(F.col("c_nationkey").alias("rel_id"), F.lit("node").alias("type"),
+                    F.col("c_custkey").alias("ref"))
+        .unionByName(
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .select(F.col("c_nationkey").alias("rel_id"), F.lit("way").alias("type"),
+                    F.col("o_orderkey").alias("ref"))))
+    out = assign_relations_to_tiles(rel_members, node_tiles, way_tiles, "rel_id")
+    return out.select("rel_id", F.explode("tile_ids").alias("tile_id")).distinct()
+
+
+_RELATION_SQL = f"""
+WITH cpts AS (
+  SELECT c_custkey, c_nationkey,
+         {derived_lat_sql('(c_custkey + 900000)')} AS lat,
+         {derived_lon_sql('(c_custkey + 900000)')} AS lon
+  FROM customer
+), cmu AS (
+  SELECT c_custkey, c_nationkey, {map_unit_sql('lat')} AS lat_mu,
+         {map_unit_sql('lon')} AS lon_mu FROM cpts
+), cust_tiles AS (
+  SELECT c_custkey, c_nationkey, tile_id
+  FROM cmu, {_tiles_values_sql()}
+  WHERE lat_mu BETWEEN t_min_lat AND t_max_lat
+    AND lon_mu BETWEEN t_min_lon AND t_max_lon
+), ppts AS (
+  SELECT p_partkey, {derived_lat_sql('(p_partkey + 500000)')} AS lat,
+         {derived_lon_sql('(p_partkey + 500000)')} AS lon FROM part
+), pmu AS (
+  SELECT p_partkey, {map_unit_sql('lat')} AS lat_mu, {map_unit_sql('lon')} AS lon_mu
+  FROM ppts
+), part_tiles AS (
+  SELECT p_partkey, tile_id
+  FROM pmu, {_tiles_values_sql()}
+  WHERE lat_mu BETWEEN t_min_lat AND t_max_lat
+    AND lon_mu BETWEEN t_min_lon AND t_max_lon
+), way_tiles AS (
+  SELECT DISTINCT l_orderkey, tile_id
+  FROM lineitem JOIN part_tiles ON l_partkey = p_partkey
+), node_branch AS (
+  SELECT c_nationkey AS rel_id, tile_id FROM cust_tiles
+), way_branch AS (
+  SELECT c_nationkey AS rel_id, w.tile_id
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN way_tiles w ON w.l_orderkey = o_orderkey
+)
+SELECT DISTINCT rel_id, tile_id FROM (
+  SELECT * FROM node_branch UNION ALL SELECT * FROM way_branch)
+"""
+
+
 def knn_customers_suppliers(spark, sf_dir):
     """grid-accelerated exact 3-NN: customer points → supplier points
     (generalizes DefaultCityFinder.java:39-105 sort-refine)."""
@@ -581,6 +688,53 @@ SELECT q_id, c_id, rnk FROM ranked WHERE rnk <= 3
 """
 
 
+def tile_names(spark, sf_dir):
+    """tile naming: max-'population' city per tile bbox (range join +
+    window argmax; Main.nameAreas:367-392 / DefaultCityFinder semantics).
+    Customers act as the GeoNames city table (population = acctbal cents)."""
+    from .operators.naming import name_tiles
+
+    cities = _read(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        _cents(F.col("c_acctbal")).alias("population"),
+        derived_lat(F.col("c_custkey") + 900000).alias("lat"),
+        derived_lon(F.col("c_custkey") + 900000).alias("lon"))
+    return name_tiles(cities, _FIXED_TILES)
+
+
+def _tiles_raw_values_sql() -> str:
+    rows = ", ".join(
+        f"({t.map_id}, {t.min_lat}, {t.min_long}, {t.max_lat}, {t.max_long})"
+        for t in _FIXED_TILES)
+    return (f"(VALUES {rows}) AS tiles(tile_id, t_min_lat, t_min_lon, "
+            f"t_max_lat, t_max_lon)")
+
+
+_TILE_NAMES_SQL = f"""
+WITH cities AS (
+  SELECT c_name AS name, {_cents_sql('c_acctbal')} AS population,
+         {derived_lat_sql('(c_custkey + 900000)')} AS lat,
+         {derived_lon_sql('(c_custkey + 900000)')} AS lon
+  FROM customer
+), mu AS (
+  SELECT name, population, {map_unit_sql('lat')} AS lat_mu,
+         {map_unit_sql('lon')} AS lon_mu
+  FROM cities
+), joined AS (
+  SELECT tile_id, name, population, lat_mu, lon_mu
+  FROM mu, {_tiles_raw_values_sql()}
+  WHERE lat_mu BETWEEN t_min_lat AND t_max_lat
+    AND lon_mu BETWEEN t_min_lon AND t_max_lon
+)
+SELECT tile_id, name, population FROM (
+  SELECT tile_id, name, population,
+         ROW_NUMBER() OVER (PARTITION BY tile_id
+             ORDER BY population DESC, name ASC, lat_mu ASC, lon_mu ASC) AS rn
+  FROM joined) t
+WHERE rn = 1
+"""
+
+
 def apply_changes_events(spark, sf_dir):
     """incremental merge (osmosis apply-change ≙ Iceberg MERGE semantics):
     base snapshot = events; synthetic change stream = modifies (id%10==3),
@@ -687,6 +841,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_histogram": density_histogram,
         "tile_assign_fixed": tile_assign_fixed,
         "way_tileset": way_tileset,
+        "relation_tileset": relation_tileset,
+        "cell_encode": cell_encode,
         "knn_customers_suppliers": knn_customers_suppliers,
         "pip_hexagon": pip_hexagon,
         "doc_text_features": doc_text_features,
@@ -696,6 +852,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_docs": jaccard_pairs_docs,
         "embed_top3": embed_top3,
         "apply_changes_events": apply_changes_events,
+        "tile_names": tile_names,
         "tiling_pipeline_counts": tiling_pipeline_counts,
         "image_decode_stats": image_decode_stats,
         "minhash_candidates": minhash_candidates,
@@ -717,6 +874,8 @@ def oracle_sql() -> Dict[str, str]:
         "density_histogram": _DENSITY_SQL,
         "tile_assign_fixed": _TILE_ASSIGN_SQL,
         "way_tileset": _WAY_SQL,
+        "relation_tileset": _RELATION_SQL,
+        "cell_encode": _cell_encode_sql(),
         "knn_customers_suppliers": _KNN_SQL,
         "pip_hexagon": _PIP_SQL,
         "doc_text_features": _TEXT_FEATURES_SQL,
@@ -726,6 +885,7 @@ def oracle_sql() -> Dict[str, str]:
         "jaccard_pairs_docs": _JACCARD_SQL,
         "embed_top3": _EMBED_SQL,
         "apply_changes_events": _APPLY_SQL,
+        "tile_names": _TILE_NAMES_SQL,
         # tiling_pipeline_counts / image_decode_stats / minhash_candidates /
         # ann_lsh_top3: non-SQL-expressible (driver quadtree, binary decode,
         # LSH buckets) → rows-only check

@@ -53,6 +53,11 @@ class DensityGrid:
         self.bounds = round_area(area, resolution)
         self.height = self.bounds.height >> self.shift
         self.width = self.bounds.width >> self.shift
+        if isinstance(counts, str) and counts == "defer":
+            # caller assigns .grid/.total itself (subset fast path)
+            self.grid = None
+            self.total = 0
+            return
         if counts is None:
             self.grid = np.zeros((self.width, self.height), dtype=np.int64)
         else:
@@ -102,39 +107,48 @@ class DensityGrid:
         if sub is EMPTY_AREA or sub.width == 0 or sub.height == 0:
             return DensityGrid(EMPTY_AREA, self.trim_enabled, resolution)
 
-        result = DensityGrid(sub, self.trim_enabled, resolution)
+        result = DensityGrid(sub, self.trim_enabled, resolution,
+                             counts="defer")
         start_x = self.lon_to_x(sub.min_long)
         start_y = self.lat_to_y(sub.min_lat)
-        # copy extent from the (possibly unaligned) subset area like the
+        # window extent from the (possibly unaligned) subset area like the
         # reference's arraycopy loop (DensityMap.java:119-135); clamp to the
         # rounded result dims for safety
         max_x = min(sub.width >> self.shift, result.width)
         max_y = min(sub.height >> self.shift, result.height)
-        result.grid[:max_x, :max_y] = self.grid[start_x:start_x + max_x,
-                                                start_y:start_y + max_y]
+        view = self.grid[start_x:start_x + max_x, start_y:start_y + max_y]
+        if view.shape == (result.width, result.height):
+            # grids are read-only after build — a view avoids copying the
+            # subtree at every quadtree recursion level
+            result.grid = view
+        else:
+            result.grid = np.zeros((result.width, result.height), dtype=np.int64)
+            result.grid[:max_x, :max_y] = view
         result.total = int(result.grid.sum())
         return result
 
     def _trim(self, area: Area) -> Area:
-        """Shave empty edge rows/columns then re-round (DensityMap.java:137-179)."""
+        """Shave empty edge rows/columns then re-round (DensityMap.java:137-179).
+
+        Vectorized: first/last occupied column within the y-window, then
+        first/last occupied row within the trimmed x-window — identical
+        semantics to the reference's four scan loops, two numpy passes."""
         min_x = self.lon_to_x(area.min_long)
         max_x = self.lon_to_x(area.max_long)
         min_y = self.lat_to_y(area.min_lat)
         max_y = self.lat_to_y(area.max_lat)
 
-        sub = self.grid[:, :]
-        while min_x < max_x and not sub[min_x, min_y:max_y].any():
-            min_x += 1
-        if min_x == max_x:
+        win = self.grid[min_x:max_x, min_y:max_y]
+        occ_x = np.nonzero(win.any(axis=1))[0]
+        if len(occ_x) == 0:
             return EMPTY_AREA
-        while not sub[max_x - 1, min_y:max_y].any():
-            max_x -= 1
-        while min_y < max_y and not sub[min_x:max_x, min_y].any():
-            min_y += 1
-        if min_y == max_y:
+        new_min_x = min_x + int(occ_x[0])
+        new_max_x = min_x + int(occ_x[-1]) + 1
+        occ_y = np.nonzero(self.grid[new_min_x:new_max_x, min_y:max_y].any(axis=0))[0]
+        if len(occ_y) == 0:
             return EMPTY_AREA
-        while not sub[min_x:max_x, max_y - 1].any():
-            max_y -= 1
+        min_x, max_x = new_min_x, new_max_x
+        min_y, max_y = min_y + int(occ_y[0]), min_y + int(occ_y[-1]) + 1
 
         trimmed = Area(self.y_to_lat(min_y), self.x_to_lon(min_x),
                        self.y_to_lat(max_y), self.x_to_lon(max_x))
@@ -203,16 +217,23 @@ class SplittableDensityArea:
                             split_result[1].split(max_nodes))
 
     # --- split point selection (SplittableDensityArea.java:127-196) -----
+    # colsum/rowsum computed once per node (two grid passes serve both axes)
+    def _axis_sums(self):
+        if getattr(self, "_sums", None) is None:
+            g = self.densities.grid
+            self._sums = (g.sum(axis=1), g.sum(axis=0))
+        return self._sums
+
     def _get_split_horiz(self) -> Optional[int]:
-        g = self.densities.grid
-        s = int(g.sum())
-        ws = int((g.sum(axis=1) * np.arange(g.shape[0], dtype=np.int64)).sum())
+        colsum, _ = self._axis_sums()
+        s = int(colsum.sum())
+        ws = int((colsum * np.arange(len(colsum), dtype=np.int64)).sum())
         return self._limit(0, self.densities.width, ws // s)
 
     def _get_split_vert(self) -> Optional[int]:
-        g = self.densities.grid
-        s = int(g.sum())
-        ws = int((g.sum(axis=0) * np.arange(g.shape[1], dtype=np.int64)).sum())
+        _, rowsum = self._axis_sums()
+        s = int(rowsum.sum())
+        ws = int((rowsum * np.arange(len(rowsum), dtype=np.int64)).sum())
         return self._limit(0, self.densities.height, ws // s)
 
     @staticmethod

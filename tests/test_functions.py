@@ -1,0 +1,117 @@
+"""Unit tests for text/dedup/similarity against independent numpy/python
+oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm2garmin_spark.functions import text as T
+from osm2garmin_spark.functions import dedup as D
+from osm2garmin_spark.functions import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "spark engines shuffle data across many executors"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+        (4, "a b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_and_fingerprint(spark, docs):
+    out = {r["doc_id"]: (r["n"], r["fp"]) for r in docs.select(
+        "doc_id", T.token_count(F.col("text")).alias("n"),
+        T.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert out[0][0] == 9 and out[4][0] == 2
+    # python oracle for the rolling hash
+    def fp(s):
+        acc = 0
+        for c in s:
+            acc = (acc * T.FP_BASE + ord(c)) % T.FP_MOD
+        return acc
+    assert out[0][1] == fp("the quick brown fox jumps over the lazy dog")
+    assert out[0][1] == out[3][1]  # identical docs → identical fp
+    assert out[0][1] != out[1][1]
+
+
+def test_word_shingles(spark, docs):
+    out = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", T.word_shingles(F.col("text"), 3).alias("sh")).collect()}
+    assert out[4] == []  # shorter than n
+    assert out[0][0] == "the quick brown"
+    assert out[0][-1] == "the lazy dog"
+    assert len(out[0]) == 7
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    out = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", D.simhash16(F.col("text")).alias("sh")).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert out[0] == out[3]                      # identical
+    assert ham(out[0], out[1]) <= 6              # 1-word diff → close
+    assert ham(out[0], out[2]) >= ham(out[0], out[1])  # unrelated no closer
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, n=1, num_hashes=32, bands=8).collect()
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs}
+    assert est[(0, 3)] == 1.0                    # exact dup pair found
+    if (0, 1) in est:                            # true unigram jaccard = 8/10
+        assert est[(0, 1)] >= 0.4
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 5").select(F.col("vec_id").alias("q_id"),
+                                       F.col("embedding").alias("q_vec"))
+    c = df.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    got = {(r["q_id"], r["rnk"]): r["c_id"]
+           for r in S.cosine_topk(q, c, 3).collect()}
+
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    np.fill_diagonal(sims, -np.inf)
+    for qi in range(5):
+        order = sorted(range(40), key=lambda j: (-sims[qi, j], j))[:3]
+        for k in range(3):
+            assert got[(qi, k + 1)] == order[k]
+
+
+def test_ann_lsh_recall(spark):
+    rng = np.random.default_rng(12)
+    base = rng.normal(size=(60, 16)).astype(np.float32)
+    # plant near-duplicates so ANN has true positives in-bucket
+    base[50] = base[0] + 0.01
+    base[51] = base[1] + 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    q = df.filter("vec_id IN (0, 1)").select(F.col("vec_id").alias("q_id"),
+                                             F.col("embedding").alias("q_vec"))
+    c = df.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    got = {(r["q_id"], r["c_id"]) for r in
+           S.ann_lsh_topk(q, c, 1, dim=16, num_planes=4).collect()}
+    assert (0, 50) in got and (1, 51) in got
+
+
+def test_exact_dedup(spark, docs):
+    kept = sorted(r["doc_id"] for r in
+                  D.exact_dedup(docs, ["text"], "doc_id").collect())
+    assert kept == [0, 1, 2, 4]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    out = {(r["doc_a"], r["doc_b"]) for r in
+           D.ngram_jaccard_pairs(docs, n=1, threshold=0.7).collect()}
+    assert (0, 3) in out           # identical
+    assert (0, 1) in out           # jaccard 8/10
+    assert (0, 2) not in out

@@ -104,3 +104,26 @@ def test_group_join_union(spark, corpus):
         tilesets[gid].add(r["tile_id"])
     got_map = {r["group_id"]: list(r["tile_ids"]) for r in got}
     assert got_map == {g: sorted(s) for g, s in tilesets.items()}
+
+
+def test_salted_collect_set_matches_plain(spark, corpus):
+    from osm2garmin_spark.operators.skew import salted_collect_set, salted_count
+    from pyspark.sql import functions as F
+
+    res = run_tiling_pipeline(corpus, max_nodes=MAX_NODES, overlap=OVERLAP)
+    nt = res.assigned.select(F.col("image_id").alias("node_id"), "tile_id")
+    plain = {r["tile_id"]: r["n"] for r in
+             nt.groupBy("tile_id").agg(F.count("*").alias("n")).collect()}
+    salted = {r["tile_id"]: r["n_rows"] for r in
+              salted_count(nt, "tile_id", "node_id").collect()}
+    assert plain == salted
+
+    members = corpus.select(
+        (F.regexp_replace("image_id", "^img", "").cast("long") / 8).cast("long").alias("group_id"),
+        F.col("image_id").alias("ref"))
+    j = members.join(nt.withColumnRenamed("node_id", "ref"), "ref")
+    plain_sets = {r["group_id"]: sorted(r["s"]) for r in
+                  j.groupBy("group_id").agg(F.collect_set("tile_id").alias("s")).collect()}
+    salted_sets = {r["group_id"]: list(r["tile_ids"]) for r in
+                   salted_collect_set(j, "group_id", "tile_id", "ref").collect()}
+    assert plain_sets == salted_sets

@@ -20,7 +20,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cores: int, rows: int) -> dict:
+def _one(cores: int, rows: int) -> dict:
     env = dict(os.environ, BENCH_CORPUS_ROWS=str(rows),
                SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                  "/root/testdata/sf0.1"))
@@ -32,15 +32,28 @@ def run_once(cores: int, rows: int) -> dict:
     return json.loads(line)
 
 
+def run_pair(n: int, xn: int, rows: int, repeats: int = 3):
+    """Alternating best-of-N per level: this sandbox shares CPUs with noisy
+    neighbors (load average >9 observed with none of our processes running),
+    so interleave the levels and keep each level's best run."""
+    best = {n: None, xn: None}
+    for _ in range(repeats):
+        for cores in (xn, n):
+            res = _one(cores, rows)
+            t = res["queries"]["tiling_pipeline_2m_images"]
+            if best[cores] is None or t < best[cores]["queries"]["tiling_pipeline_2m_images"]:
+                best[cores] = res
+    return best[n], best[xn]
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--rows", type=int, default=6_000_000)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--xn", type=int, default=32)
     args = ap.parse_args()
 
-    lo = run_once(args.n, args.rows)
-    hi = run_once(args.xn, args.rows)
+    lo, hi = run_pair(args.n, args.xn, args.rows)
     t_lo = lo["queries"]["tiling_pipeline_2m_images"]
     t_hi = hi["queries"]["tiling_pipeline_2m_images"]
     thr_lo = lo["tile_assignments"] / t_lo
