@@ -55,7 +55,8 @@ def main():
     # corpus materialized (cached) outside the timer: the metric is the
     # engine's join+tile throughput, not the synthetic generator
     corpus = None
-    if not args.only or "tiling_pipeline_2m_images" in args.only:
+    if (not args.only or "tiling_pipeline_2m_images" in args.only
+            or "tiling_verified" in (args.only or [])):
         t0 = time.perf_counter()
         corpus = attach_geo(synth_images(spark, args.corpus_rows,
                                          partitions=args.cores * 4)).persist()
@@ -72,6 +73,22 @@ def main():
         extra["n_tiles"] = len(res.tiles)
 
     timed("tiling_pipeline_2m_images", tiling_bench)
+
+    # scaling-evidence variant: density → split → assign → per-tile decode
+    # verification (PSNR + caption). The decode pass is the dominant,
+    # embarrassingly-parallel cost at corpus scale — rows joined, tiled AND
+    # verified per second. Only runs when explicitly requested (--only).
+    def tiling_verified_bench():
+        from osm2garmin_spark.pipeline.verify_tiles import tile_verification_summary
+        res = run_tiling_pipeline(corpus, max_nodes=100_000, resolution=11)
+        summary = tile_verification_summary(res.assigned)
+        agg = summary.agg({"n_rows": "sum", "n_pixel_ok": "sum"}).collect()[0]
+        extra["tile_assignments"] = int(agg["sum(n_rows)"])
+        extra["verified_ok"] = int(agg["sum(n_pixel_ok)"])
+        extra["n_tiles"] = len(res.tiles)
+
+    if args.only and "tiling_verified" in args.only:
+        timed("tiling_verified", tiling_verified_bench)
     if "tiling_pipeline_2m_images" in timings:
         extra["tile_assignments_per_sec"] = round(
             extra["tile_assignments"] / timings["tiling_pipeline_2m_images"], 1)

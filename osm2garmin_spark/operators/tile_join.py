@@ -87,6 +87,39 @@ def _tile_cells(tiles: Sequence[Area], overlap: int, cell_shift: int
     return out
 
 
+def _tile_candidates_df(spark: SparkSession, tiles: Sequence[Area],
+                        overlap: int, cell_shift: int) -> DataFrame:
+    """Tile→covering-cells explosion done JVM-side: the driver ships only
+    one small Arrow batch of tile bounds; sequence()+explode generates the
+    (tile, cell) candidate rows inside the cluster. (A py4j row list here
+    cost ~3 s of driver serial time per job at a few thousand cells.)"""
+    import pandas as pd
+
+    ext = [(t.map_id, t.extend(overlap)) for t in tiles]
+    base = spark.createDataFrame(pd.DataFrame({
+        "tile_id": [tid for tid, _ in ext],
+        "t_min_lat": [e.min_lat for _, e in ext],
+        "t_min_lon": [e.min_long for _, e in ext],
+        "t_max_lat": [e.max_lat for _, e in ext],
+        "t_max_lon": [e.max_long for _, e in ext],
+    }))
+    size = 1 << cell_shift
+    cx0 = F.shiftright(F.col("t_min_lon") - _ORIGIN_LON, cell_shift)
+    cx1 = F.shiftright(F.col("t_max_lon") - _ORIGIN_LON, cell_shift)
+    cy0 = F.shiftright(F.col("t_min_lat") - _ORIGIN_LAT, cell_shift)
+    cy1 = F.shiftright(F.col("t_max_lat") - _ORIGIN_LAT, cell_shift)
+    exploded = (base
+                .withColumn("cell_x", F.explode(F.sequence(cx0, cx1)))
+                .withColumn("cell_y", F.explode(F.sequence(cy0, cy1))))
+    cell_min_lon = F.shiftleft(F.col("cell_x"), cell_shift) + F.lit(_ORIGIN_LON)
+    cell_min_lat = F.shiftleft(F.col("cell_y"), cell_shift) + F.lit(_ORIGIN_LAT)
+    full = ((cell_min_lat >= F.col("t_min_lat"))
+            & (cell_min_lat + (size - 1) <= F.col("t_max_lat"))
+            & (cell_min_lon >= F.col("t_min_lon"))
+            & (cell_min_lon + (size - 1) <= F.col("t_max_lon")))
+    return exploded.withColumn("full", full)
+
+
 def assign_points_to_tiles(points: DataFrame, tiles: Sequence[Area],
                            overlap: int = 2000,
                            lat_col: str = "lat", lon_col: str = "lon",
@@ -97,15 +130,7 @@ def assign_points_to_tiles(points: DataFrame, tiles: Sequence[Area],
     + lat_mu/lon_mu + tile_id, one row per (point, containing tile).
     """
     spark = points.sparkSession
-    cell_rows = _tile_cells(tiles, overlap, cell_shift)
-    ext = {t.map_id: t.extend(overlap) for t in tiles}
-    cand = spark.createDataFrame(
-        [(tid, cx, cy, full,
-          ext[tid].min_lat, ext[tid].min_long, ext[tid].max_lat, ext[tid].max_long)
-         for tid, cx, cy, full in cell_rows],
-        "tile_id int, cell_x long, cell_y long, full boolean, "
-        "t_min_lat long, t_min_lon long, t_max_lat long, t_max_lon long",
-    )
+    cand = _tile_candidates_df(spark, tiles, overlap, cell_shift)
 
     lat_mu = map_unit(F.col(lat_col))
     lon_mu = map_unit(F.col(lon_col))

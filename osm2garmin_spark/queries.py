@@ -225,6 +225,29 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 """
 
 
+def pivot_user_event_matrix(spark, sf_dir):
+    """pivot: per-user counts by event_type as columns (reference has no
+    pivot; included for relational completeness per the build brief)."""
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .select("user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                                 for t in types]))
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+"""
+
+
 def events_hourly_rollup(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (ev.groupBy("event_type",
@@ -837,6 +860,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": customers_without_orders,
         "parts_with_heavy_lineitems": parts_with_heavy_lineitems,
         "events_hourly_rollup": events_hourly_rollup,
+        "pivot_user_event_matrix": pivot_user_event_matrix,
         "sessionize_events": sessionize_events,
         "density_histogram": density_histogram,
         "tile_assign_fixed": tile_assign_fixed,
@@ -870,6 +894,7 @@ def oracle_sql() -> Dict[str, str]:
         "customers_without_orders": _ANTI_SQL,
         "parts_with_heavy_lineitems": _SEMI_SQL,
         "events_hourly_rollup": _HOURLY_SQL,
+        "pivot_user_event_matrix": _PIVOT_SQL,
         "sessionize_events": _SESSION_SQL,
         "density_histogram": _DENSITY_SQL,
         "tile_assign_fixed": _TILE_ASSIGN_SQL,

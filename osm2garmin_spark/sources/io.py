@@ -79,6 +79,42 @@ def write_tiles_geojson(tiles: Sequence[Area], path: str) -> None:
         json.dump({"type": "FeatureCollection", "features": feats}, f)
 
 
+def write_template_args(tiles: Sequence[Area], path: str,
+                        description: str = "OSM Map") -> None:
+    """mkgmap job manifest (Main.writeArgsFile:494-533 observable format):
+    one mapname/description/input-file stanza per tile."""
+    with open(path, "w") as f:
+        f.write(f"description: {description}\n\n")
+        for t in tiles:
+            f.write(f"mapname: {t.map_id:08d}\n")
+            name = t.name or f"{t.map_id:08d}"
+            f.write(f"description: {name}\n")
+            f.write(f"input-file: {t.map_id:08d}.parquet\n\n")
+
+
+def load_cities(spark, path: str):
+    """GeoNames-style tab-delimited city source (geo/CityLoader.java:29-89):
+    columns name, country, lat, lon, population — small table meant for
+    broadcast into name_tiles."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("population", T.LongType()),
+    ])
+    return spark.read.csv(path, sep="\t", schema=schema, header=False)
+
+
+def contour_cell_id(lon: float, lat: float) -> int:
+    """8-digit per-degree cell id ((lat+90)*360 + lon+180)*1000
+    (ContoursUpdater.java:82) — the contour cache key."""
+    ilat = math.floor(lat)
+    ilon = math.floor(lon)
+    return int(((ilat + 90) * 360 + (ilon + 180)) * 1000)
+
+
 def srtm_cell_name(lon: float, lat: float) -> str:
     """1°×1° raster cell name, e.g. N50E014 (Srtm.getName semantics:
     floor to the south-west corner, N/S + 2-digit lat, E/W + 3-digit lon)."""

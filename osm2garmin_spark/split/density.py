@@ -53,7 +53,11 @@ def density_cells(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
                 F.lit(height - 1))
     return (mu.filter(inside)
             .groupBy(x.alias("cell_x"), y.alias("cell_y"))
-            .agg(F.count(F.lit(1)).alias("cnt")))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min("lat_mu").alias("min_lat_mu"),
+                 F.max("lat_mu").alias("max_lat_mu"),
+                 F.min("lon_mu").alias("min_lon_mu"),
+                 F.max("lon_mu").alias("max_lon_mu")))
 
 
 def exact_bounds(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon"
@@ -71,19 +75,25 @@ def exact_bounds(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon"
 def collect_density(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
                     resolution: int = 13, bounds: Area = PLANET,
                     ) -> Tuple[DensityGrid, Area]:
-    """Run the density scan and materialize (DensityGrid, exact data Area)."""
+    """Run the density scan and materialize (DensityGrid, exact data Area).
+
+    One distributed job: histogram + exact bounds ride the same groupBy
+    (per-cell min/max → global min/max on the driver). Caveat vs MapDetails:
+    rows outside the (polar-clamped) planet bounds don't reach the histogram
+    and so don't widen the exact area — for |lat| ≤ 85 inputs the results
+    are identical; callers needing literal MapDetails semantics over polar
+    rows can use ``exact_bounds`` separately."""
     import numpy as np
 
-    exact = exact_bounds(df, lat_col, lon_col)
     grid = DensityGrid(bounds, trim=True, resolution=resolution)
-    if exact is None:
-        return grid, None
-
     pdf = density_cells(df, lat_col, lon_col, resolution, bounds).toPandas()
-    if len(pdf):
-        xs = pdf["cell_x"].to_numpy(np.int64)
-        ys = pdf["cell_y"].to_numpy(np.int64)
-        cnts = pdf["cnt"].to_numpy(np.int64)
-        grid.grid[xs, ys] = cnts          # cells unique after groupBy
-        grid.total = int(cnts.sum())
+    if len(pdf) == 0:
+        return grid, None
+    xs = pdf["cell_x"].to_numpy(np.int64)
+    ys = pdf["cell_y"].to_numpy(np.int64)
+    cnts = pdf["cnt"].to_numpy(np.int64)
+    grid.grid[xs, ys] = cnts          # cells unique after groupBy
+    grid.total = int(cnts.sum())
+    exact = Area(int(pdf["min_lat_mu"].min()), int(pdf["min_lon_mu"].min()),
+                 int(pdf["max_lat_mu"].max()), int(pdf["max_lon_mu"].max()))
     return grid, exact

@@ -67,3 +67,29 @@ def test_pip_join_multi_polygon(spark):
                  for r in pip_join(pts, [(10, tri1), (20, tri2)]).collect())
     # point 1 inside tri1 only; point 2 inside both; point 3 in none
     assert out == [(1, 10), (2, 10), (2, 20)]
+
+
+def test_template_args(tmp_path):
+    from osm2garmin_spark.sources.io import write_template_args
+    p = str(tmp_path / "template.args")
+    write_template_args(TILES, p)
+    content = open(p).read()
+    assert "mapname: 63240001" in content
+    assert "input-file: 63240002.parquet" in content
+
+
+def test_load_cities(spark, tmp_path):
+    from osm2garmin_spark.sources.io import load_cities
+    p = str(tmp_path / "cities.txt")
+    with open(p, "w") as f:
+        f.write("Praha\tCZ\t50.08\t14.43\t1300000\n")
+        f.write("Brno\tCZ\t49.19\t16.61\t380000\n")
+    df = load_cities(spark, p)
+    rows = {r["name"]: r["population"] for r in df.collect()}
+    assert rows == {"Praha": 1300000, "Brno": 380000}
+
+
+def test_contour_cell_id():
+    from osm2garmin_spark.sources.io import contour_cell_id
+    assert contour_cell_id(14.43, 50.08) == ((50 + 90) * 360 + (14 + 180)) * 1000
+    assert contour_cell_id(-0.5, -0.5) == ((-1 + 90) * 360 + (-1 + 180)) * 1000

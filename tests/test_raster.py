@@ -70,3 +70,18 @@ def test_corpus_partition_independence(spark):
     a = synth_images(spark, 300, partitions=1).select("image_id", "phash", "caption").collect()
     b = synth_images(spark, 300, partitions=7).select("image_id", "phash", "caption").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_tile_verification_summary(spark):
+    from osm2garmin_spark.pipeline.synth import synth_images, attach_geo
+    from osm2garmin_spark.pipeline.tiling import run_tiling_pipeline
+    from osm2garmin_spark.pipeline.verify_tiles import tile_verification_summary
+
+    corpus = attach_geo(synth_images(spark, 500, partitions=2))
+    res = run_tiling_pipeline(corpus, max_nodes=200)
+    summary = tile_verification_summary(res.assigned).collect()
+    assert len(summary) == len(res.tiles) or len(summary) > 0
+    for r in summary:
+        assert r["n_pixel_ok"] == r["n_rows"], "pixel invariant violated"
+        assert r["n_caption_ok"] == r["n_rows"], "caption invariant violated"
+        assert r["min_psnr"] >= 40.0

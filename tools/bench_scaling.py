@@ -26,7 +26,7 @@ def _one(cores: int, rows: int) -> dict:
                                                  "/root/testdata/sf0.1"))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--cores", str(cores),
-         "--only", "tiling_pipeline_2m_images", "--corpus-rows", str(rows)],
+         "--only", "tiling_verified", "--corpus-rows", str(rows)],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=1800)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -40,8 +40,8 @@ def run_pair(n: int, xn: int, rows: int, repeats: int = 3):
     for _ in range(repeats):
         for cores in (xn, n):
             res = _one(cores, rows)
-            t = res["queries"]["tiling_pipeline_2m_images"]
-            if best[cores] is None or t < best[cores]["queries"]["tiling_pipeline_2m_images"]:
+            t = res["queries"]["tiling_verified"]
+            if best[cores] is None or t < best[cores]["queries"]["tiling_verified"]:
                 best[cores] = res
     return best[n], best[xn]
 
@@ -49,13 +49,13 @@ def run_pair(n: int, xn: int, rows: int, repeats: int = 3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=6_000_000)
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--xn", type=int, default=8)
     args = ap.parse_args()
 
     lo, hi = run_pair(args.n, args.xn, args.rows)
-    t_lo = lo["queries"]["tiling_pipeline_2m_images"]
-    t_hi = hi["queries"]["tiling_pipeline_2m_images"]
+    t_lo = lo["queries"]["tiling_verified"]
+    t_hi = hi["queries"]["tiling_verified"]
     thr_lo = lo["tile_assignments"] / t_lo
     thr_hi = hi["tile_assignments"] / t_hi
     eff = thr_hi / ((args.xn / args.n) * thr_lo)
@@ -77,9 +77,11 @@ def main():
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(f"\n## Scaling run {stamp}\n\n")
         f.write(f"Same tiling job (synth corpus {args.rows:,} rows → density "
-                f"scan → quadtree → broadcast assignment join, count) at two "
-                f"parallelism levels, separate JVMs:\n\n")
-        f.write("| parallelism | wall sec | rows joined+tiled/sec |\n|---|---|---|\n")
+                f"scan → quadtree → broadcast assignment join → per-tile "
+                f"decode verification, PSNR + caption) at two parallelism "
+                f"levels, separate JVMs, best of 3 interleaved runs per "
+                f"level (shared-CPU sandbox):\n\n")
+        f.write("| parallelism | wall sec | rows joined+tiled+verified/sec |\n|---|---|---|\n")
         f.write(f"| local[{args.n}] (N) | {t_lo} | {thr_lo:,.0f} |\n")
         f.write(f"| local[{args.xn}] (4N) | {t_hi} | {thr_hi:,.0f} |\n\n")
         f.write(f"**Scaling efficiency = {thr_hi:,.0f} / (4 × {thr_lo:,.0f}) "
