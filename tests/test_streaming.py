@@ -54,3 +54,32 @@ def test_stream_sessionize_batch_mode(spark, events):
     for r in out:
         assert r["session_end"] > r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_stream_first_seen_dedup(spark, tmp_path):
+    """stateful streaming dedup: duplicate keys across micro-batches are
+    emitted exactly once"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from osm2garmin_spark.streaming.stateful import stream_first_seen
+
+    src_dir = str(tmp_path / "b")
+    # two files → two micro-batches with overlapping keys
+    spark.createDataFrame(pd.DataFrame(
+        {"bucket": [0, 0, 1], "key": ["a", "b", "x"]})) \
+        .coalesce(1).write.parquet(src_dir)
+    spark.createDataFrame(pd.DataFrame(
+        {"bucket": [0, 0, 1], "key": ["b", "c", "x"]})) \
+        .coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (spark.readStream
+              .schema("bucket long, key string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src_dir))
+    q = (stream_first_seen(stream).writeStream
+         .format("memory").queryName("firstseen")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = {(r["bucket"], r["key"])
+            for r in spark.sql("select * from firstseen").collect()}
+    assert rows == {(0, "a"), (0, "b"), (0, "c"), (1, "x")}
