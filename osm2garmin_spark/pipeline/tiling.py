@@ -41,13 +41,38 @@ def run_tiling_pipeline(points: DataFrame, max_nodes: int = DEFAULT_MAX_NODES,
                         lat_col: str = "lat", lon_col: str = "lon",
                         bounds: Area = PLANET,
                         first_map_id: int = DEFAULT_FIRST_MAP_ID,
+                        split_strategy: str = "driver",
                         ) -> Optional[TilingResult]:
     """points (any DataFrame with degree lat/lon) → quadtree tiles +
-    multi-assignment. Returns None for an empty input."""
-    grid, exact = collect_density(points, lat_col, lon_col, resolution, bounds)
-    if exact is None:
-        return None
-    tiles = split_area(grid, exact, resolution, max_nodes, first_map_id)
+    multi-assignment. Returns None for an empty input.
+
+    split_strategy:
+    - "driver"      (default) collect the occupied-cell table, run the
+                    integer quadtree on the driver — fastest locally;
+                    driver memory O(occupied cells) ≤ grid size.
+    - "distributed" level-synchronous quadtree (split/distributed.py):
+                    driver holds only per-node 1-D vectors; use when the
+                    occupied-cell table itself is too big to collect.
+    Both produce bit-identical tiles (tests/test_distributed_split.py).
+    """
+    if split_strategy == "distributed":
+        from ..split.density import density_cells, exact_bounds
+        from ..split.distributed import split_area_distributed
+
+        exact = exact_bounds(points, lat_col, lon_col)
+        if exact is None:
+            return None
+        cells = density_cells(points, lat_col, lon_col, resolution, bounds).persist()
+        try:
+            tiles = split_area_distributed(cells, exact, resolution,
+                                           max_nodes, first_map_id)
+        finally:
+            cells.unpersist()
+    else:
+        grid, exact = collect_density(points, lat_col, lon_col, resolution, bounds)
+        if exact is None:
+            return None
+        tiles = split_area(grid, exact, resolution, max_nodes, first_map_id)
     if not tiles:
         return None
     assigned = assign_points_to_tiles(points, tiles, overlap, lat_col, lon_col)

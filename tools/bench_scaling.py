@@ -28,8 +28,12 @@ def _one(cores: int, rows: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py"), "--cores", str(cores),
          "--only", "tiling_verified", "--corpus-rows", str(rows)],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=1800)
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(f"[bench_scaling] run cores={cores} produced no JSON; "
+                         f"stderr tail:\n{out.stderr[-2000:]}\n")
+        return None
+    return json.loads(lines[-1])
 
 
 def run_pair(n: int, xn: int, rows: int, repeats: int = 3):
@@ -40,9 +44,13 @@ def run_pair(n: int, xn: int, rows: int, repeats: int = 3):
     for _ in range(repeats):
         for cores in (xn, n):
             res = _one(cores, rows)
+            if res is None:
+                continue
             t = res["queries"]["tiling_verified"]
             if best[cores] is None or t < best[cores]["queries"]["tiling_verified"]:
                 best[cores] = res
+    if best[n] is None or best[xn] is None:
+        raise RuntimeError("no successful run for one level; see stderr")
     return best[n], best[xn]
 
 
