@@ -1,0 +1,48 @@
+"""spark-submit entry point for the tiling pipeline (north_rule packaging).
+
+Usage (local sandbox stands in for the cluster):
+
+    cd /root/repo && zip -qr /tmp/osm2garmin_spark.zip osm2garmin_spark
+    spark-submit --master local[8] \
+        --py-files /tmp/osm2garmin_spark.zip \
+        tools/submit_tiling_job.py --rows 100000 --out /tmp/tiling_out
+
+On a real cluster only --master changes. The job is the resumable pipeline:
+synth corpus → density → quadtree → salted partitioned write + lineage;
+re-submitting with the same --out resumes (completed tiles skipped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--max-nodes", type=int, default=100_000)
+    ap.add_argument("--resolution", type=int, default=13)
+    ap.add_argument("--run-id", default="submit")
+    args = ap.parse_args()
+
+    # spark-submit provides the session; fall back to local for direct runs
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName("osm2garmin-tiling").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from osm2garmin_spark.pipeline.synth import synth_images, attach_geo
+    from osm2garmin_spark.pipeline.lineage import run_tiling_resumable
+
+    corpus = attach_geo(synth_images(spark, args.rows)) \
+        .withColumnRenamed("image_id", "event_id")
+    stats = run_tiling_resumable(
+        corpus, args.out, max_nodes=args.max_nodes,
+        resolution=args.resolution, id_col="event_id", run_id=args.run_id)
+    print(json.dumps({"job": "tiling", **stats}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
