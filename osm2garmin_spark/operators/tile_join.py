@@ -103,6 +103,10 @@ def _tile_candidates_df(spark: SparkSession, tiles: Sequence[Area],
         "t_max_lat": [e.max_lat for _, e in ext],
         "t_max_lon": [e.max_long for _, e in ext],
     }))
+    # explicit cast: the non-Arrow createDataFrame fallback (sessions without
+    # the Arrow conf, e.g. a bare spark-submit) infers int64 from pandas and
+    # would silently change tile_id's engine-wide int type (lineage schema)
+    base = base.withColumn("tile_id", F.col("tile_id").cast("int"))
     size = 1 << cell_shift
     cx0 = F.shiftright(F.col("t_min_lon") - _ORIGIN_LON, cell_shift)
     cx1 = F.shiftright(F.col("t_max_lon") - _ORIGIN_LON, cell_shift)
