@@ -124,20 +124,24 @@ def shingle_hash(sh: Column) -> Column:
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 32) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]) — sig[i] = min over shingles of
-    (a_i·h + b_i) mod 2^61−1, deterministic fixed coefficients."""
+    """(id, sig: array<long>[num_hashes]) - sig[i] = min over shingles of
+    (a_i*h + b_i) mod 2^31-1, deterministic fixed coefficients.
+
+    Shape: explode distinct shingles -> hash each ONCE per row -> per-doc
+    min of every permutation in a single aggregation. (Nesting the
+    char-fold hash inside num_hashes array transforms blew the codegen
+    expression tree up ~16x: measured 55 s -> ~2 s at sf0.1.)"""
     a = [(2 * i + 1) * 40503 + 1 for i in range(num_hashes)]          # odd multipliers
     b = [(i * 2654435761 + 17) % MH_PRIME for i in range(num_hashes)]
     sh = word_shingles(F.col(text_col), n)
-    hashes = F.transform(F.array_distinct(sh), shingle_hash)
-    def _perm(ai: int, bi: int):
-        return lambda h: ((h % F.lit(MH_PRIME)) * F.lit(ai) + F.lit(bi)) % F.lit(MH_PRIME)
-
-    sig_cols = []
-    for i in range(num_hashes):
-        sig_cols.append(F.array_min(F.transform(hashes, _perm(a[i], b[i]))))
-    return docs.filter(F.size(sh) > 0).select(
-        F.col(id_col).alias("id"), F.array(*sig_cols).alias("sig"))
+    exploded = (docs.select(F.col(id_col).alias("id"),
+                            F.explode(F.array_distinct(sh)).alias("_sh"))
+                .withColumn("_h", shingle_hash(F.col("_sh")) % F.lit(MH_PRIME)))
+    aggs = [F.min((F.col("_h") * F.lit(a[i]) + F.lit(b[i])) % F.lit(MH_PRIME))
+            .alias(f"_s{i}") for i in range(num_hashes)]
+    per_doc = exploded.groupBy("id").agg(*aggs)
+    return per_doc.select(
+        "id", F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
