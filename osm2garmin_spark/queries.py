@@ -93,11 +93,11 @@ def q1_pricing_summary(spark, sf_dir):
 
 _Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM({_cents_sql('l_extendedprice')}) AS sum_base_cents,
-       SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})) AS sum_disc_pc,
-       SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})
-           * (100 + {_cents_sql('l_tax')})) AS sum_charge_pc,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM({_cents_sql('l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+       CAST(SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})) AS BIGINT) AS sum_disc_pc,
+       CAST(SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})
+           * (100 + {_cents_sql('l_tax')})) AS BIGINT) AS sum_charge_pc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
@@ -120,7 +120,7 @@ def q3_shipping_priority(spark, sf_dir):
 
 _Q3_SQL = f"""
 SELECT l_orderkey, o_orderpriority,
-       SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})) AS revenue_pc
+       CAST(SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})) AS BIGINT) AS revenue_pc
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -152,7 +152,7 @@ def q5_region_volume(spark, sf_dir):
 
 _Q5_SQL = f"""
 SELECT n_name,
-       SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})) AS revenue_pc
+       CAST(SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})) AS BIGINT) AS revenue_pc
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -193,7 +193,7 @@ def rollup_order_stats(spark, sf_dir):
 
 _ROLLUP_SQL = f"""
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       SUM({_cents_sql('o_totalprice')}) AS sum_price_cents
+       CAST(SUM({_cents_sql('o_totalprice')}) AS BIGINT) AS sum_price_cents
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -258,7 +258,7 @@ def events_hourly_rollup(spark, sf_dir):
 
 _HOURLY_SQL = f"""
 SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
-       COUNT(*) AS n_events, SUM({_cents_sql('value')}) AS sum_value_cents
+       COUNT(*) AS n_events, CAST(SUM({_cents_sql('value')}) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d %H')
 """
 
