@@ -172,13 +172,20 @@ def _qkey(xc, yc):
             + F.round(yc * QUANT).cast("long"))
 
 
-def stitch_contours(frags: DataFrame, max_iter: int = 12) -> DataFrame:
+def stitch_contours(frags: DataFrame, max_iter: int = 16) -> DataFrame:
     """Merge open fragments whose endpoints coincide (within the same
     image_id + level), iterated to a fixpoint.
 
-    Each round joins fragments A.end == B.start and concatenates; a fragment
-    participates in at most one merge per round (deterministic min-frag_id
-    pairing), so chains of length L resolve in ≤ ceil(log2 L)+1 rounds.
+    Each round joins fragments A.end == B.start and concatenates. Pair
+    selection is a deterministic maximal matching on the fragment graph
+    (edges = candidate merges): every edge gets a deterministic xxhash64
+    priority and survives only if it is the strict minimum among ALL edges
+    incident to either of its fragments — so each fragment participates in
+    at most one merge per round (as either side; round 1's weaker rule let
+    [0,1]+[1,2]+[2,3] emit overlapping [0,1,2] and [1,2,3]), cycles of
+    fragments cannot deadlock (the globally minimum edge is always kept,
+    guaranteeing progress), and pseudo-random priorities merge an expected
+    constant fraction of each chain per round → O(log L) expected rounds.
     """
     cur = frags
     for _ in range(max_iter):
@@ -195,12 +202,26 @@ def stitch_contours(frags: DataFrame, max_iter: int = 12) -> DataFrame:
                      F.col("ys").alias("b_ys"), F.col("_skey"))
         j = a.join(b, (a["image_id"] == b["b_img"]) & (a["level"] == b["b_lvl"])
                    & (a["_ekey"] == b["_skey"]) & (a["a_id"] != b["b_id"]))
-        # deterministic 1:1 pairing: keep the min b per a and min a per b
-        from pyspark.sql import Window as W
-        wa = W.partitionBy("image_id", "level", "a_id").orderBy("b_id")
-        wb = W.partitionBy("image_id", "level", "b_id").orderBy("a_id")
-        j = (j.withColumn("_ra", F.row_number().over(wa)).filter("_ra = 1")
-              .withColumn("_rb", F.row_number().over(wb)).filter("_rb = 1"))
+        # greedy-maximal-matching selection: an edge survives iff its
+        # (hash, a_id, b_id) priority is the minimum among every edge
+        # touching its a-fragment OR its b-fragment (either role). Unique
+        # priorities make the filter a valid matching; the global minimum
+        # edge always survives, so progress is guaranteed even on cycles.
+        j = j.withColumn("_pr", F.struct(
+            F.xxhash64("image_id", "level", "a_id", "b_id").alias("h"),
+            F.col("a_id").alias("pa"), F.col("b_id").alias("pb")))
+        inc = (j.select("image_id", "level", F.col("a_id").alias("fid"), "_pr")
+               .unionByName(
+                   j.select("image_id", "level", F.col("b_id").alias("fid"), "_pr")))
+        fmin = inc.groupBy("image_id", "level", "fid").agg(F.min("_pr").alias("_mn"))
+        ja = fmin.select("image_id", "level", F.col("fid").alias("a_id"),
+                         F.col("_mn").alias("_mna"))
+        jb = fmin.select("image_id", "level", F.col("fid").alias("b_id"),
+                         F.col("_mn").alias("_mnb"))
+        j = (j.join(ja, ["image_id", "level", "a_id"])
+              .join(jb, ["image_id", "level", "b_id"])
+              .filter((F.col("_pr") == F.col("_mna"))
+                      & (F.col("_pr") == F.col("_mnb"))))
         n_pairs = j.limit(1).count()
         if n_pairs == 0:
             break

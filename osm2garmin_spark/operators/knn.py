@@ -92,7 +92,10 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
              .agg(F.count(F.lit(1)).alias("_n"),
                   F.max("_d2").alias("_kth"),
                   F.first(margin).alias("_margin")))
-    complete = per_q.filter((F.col("_n") >= k) & (F.col("_kth") <= F.col("_margin") * F.col("_margin")))
+    # strict <: a neighbor exactly on the 3×3 block boundary can tie the
+    # k-th candidate's distance and win on the n_id tie-break, so an
+    # exact-boundary tie must escalate to the broadcast path.
+    complete = per_q.filter((F.col("_n") >= k) & (F.col("_kth") < F.col("_margin") * F.col("_margin")))
     incomplete_ids = per_q.join(complete.select(q_id), q_id, "left_anti").select(q_id) \
         .unionByName(queries.select(q_id).join(per_q.select(q_id), q_id, "left_anti"))
 

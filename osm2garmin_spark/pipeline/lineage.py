@@ -9,10 +9,16 @@ partition id):
 
 - tiles table      (tile list from the quadtree; persisted so a resumed job
                     reuses identical boundaries — no re-derivation drift)
-- lineage table    one row per (stage, tile_id): row count + order-
-                    insensitive content digest (sum of xxhash64 over ids)
-- output           parquet partitioned by tile_id; a tile directory is only
-                    trusted if its lineage row exists (write-then-commit)
+- lineage table    one row per (stage, tile_id, attempt): row count + order-
+                    insensitive content digest (xor of xxhash64 over ids)
+- output           parquet partitioned by (attempt, tile_id) where attempt
+                    is unique per invocation; readers trust only files whose
+                    (tile_id, attempt) pair has a committed lineage row
+                    (read_committed_assigned). A crash between the data
+                    write and the lineage commit leaves orphan files under
+                    an attempt that no lineage row references — the resumed
+                    run re-processes those tiles under a NEW attempt and the
+                    orphans are invisible to readers (no duplicate rows).
 
 Iceberg's MERGE/snapshots would subsume the bookkeeping on a real cluster;
 in this container the lineage table is plain parquet appended per run, with
@@ -34,7 +40,7 @@ from ..split.quadtree import split_area
 from ..operators.tile_join import assign_points_to_tiles
 
 LINEAGE_SCHEMA = ("stage string, tile_id int, n_rows long, digest long, "
-                  "run_id string, ts double")
+                  "run_id string, attempt string, ts double")
 
 
 class LineageStore:
@@ -71,13 +77,15 @@ class LineageStore:
         return {r["tile_id"] for r in rows}
 
     def commit(self, spark: SparkSession, stage: str, run_id: str,
-               tile_stats: DataFrame) -> None:
+               tile_stats: DataFrame, attempt: str = "") -> None:
         """tile_stats: (tile_id, n_rows, digest) — appended atomically after
-        the data write succeeds."""
+        the data write succeeds; ``attempt`` names the data files this row
+        vouches for."""
         now = time.time()
         out = tile_stats.select(
             F.lit(stage).alias("stage"), "tile_id", "n_rows", "digest",
-            F.lit(run_id).alias("run_id"), F.lit(now).alias("ts"))
+            F.lit(run_id).alias("run_id"), F.lit(attempt).alias("attempt"),
+            F.lit(now).alias("ts"))
         out.write.mode("append").parquet(self.lineage_dir)
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -93,20 +101,45 @@ def tile_digests(assigned: DataFrame, id_col: str) -> DataFrame:
         F.bit_xor(F.xxhash64(F.col(id_col))).alias("digest"))
 
 
+def read_committed_assigned(spark: SparkSession, out_dir: str,
+                            stage: str = "assign") -> DataFrame:
+    """Read back ONLY data files vouched for by a committed lineage row.
+
+    Orphan files from an attempt that crashed between its data write and
+    its lineage commit sit under an attempt= partition no lineage row
+    references; the isin filter prunes those directories at scan time and
+    the broadcast semi-join enforces the exact (tile_id, attempt) contract.
+    """
+    store = LineageStore(out_dir)
+    lin = store.read(spark).filter(F.col("stage") == stage)
+    pairs = lin.select("tile_id", "attempt").distinct()
+    attempts = [r["attempt"] for r in pairs.select("attempt").distinct().collect()]
+    df = spark.read.parquet(os.path.join(out_dir, "assigned"))
+    return (df.filter(F.col("attempt").isin(attempts))
+            .join(F.broadcast(pairs), ["tile_id", "attempt"], "left_semi")
+            .drop("attempt"))
+
+
 def run_tiling_resumable(points: DataFrame, out_dir: str,
                          max_nodes: int = 1_600_000, overlap: int = 2000,
                          resolution: int = 13, id_col: str = "event_id",
                          lat_col: str = "lat", lon_col: str = "lon",
                          run_id: str = "run", fail_after_tiles: int = -1,
+                         fail_before_commit: bool = False,
                          ) -> dict:
     """Resumable pass-1 + pass-2: reuses the persisted tile list, skips
-    tiles whose 'assign' lineage rows exist, writes per-tile parquet.
+    tiles whose 'assign' lineage rows exist, writes per-tile parquet under
+    a fresh attempt partition, then commits lineage (write-then-commit).
 
-    ``fail_after_tiles`` injects a crash after committing that many tiles
-    (test hook for the kill/resume scenario).
+    ``fail_after_tiles`` injects a crash after committing that many tiles;
+    ``fail_before_commit`` injects a crash after the data write but before
+    the lineage commit (the orphan-files scenario) — test hooks for the
+    kill/resume scenarios.
 
     Returns {"tiles": n, "processed": n_new, "skipped": n_skipped}.
     """
+    import uuid
+
     spark = points.sparkSession
     store = LineageStore(out_dir)
 
@@ -127,16 +160,22 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
     if pending:
         from ..operators.skew import salted_repartition
 
+        attempt = f"{run_id}-{uuid.uuid4().hex[:12]}"
         assigned = assign_points_to_tiles(
             points, pending, overlap, lat_col, lon_col)
         data_dir = os.path.join(out_dir, "assigned")
         # deterministic salt spreads hot (metro) tiles over many writer
-        # tasks; on-disk layout stays partitionBy(tile_id) only
+        # tasks; on-disk layout is attempt=<id>/tile_id=<n>/ so an
+        # uncommitted attempt's files are never mistaken for committed data
         (salted_repartition(assigned, "tile_id", id_col, salt_n=8)
-         .write.mode("append").partitionBy("tile_id")
+         .withColumn("attempt", F.lit(attempt))
+         .write.mode("append").partitionBy("attempt", "tile_id")
          .parquet(data_dir))
+        if fail_before_commit:
+            return {"tiles": len(tiles), "processed": 0,
+                    "skipped": len(done), "crashed": True}
         stats = tile_digests(assigned, id_col)
-        store.commit(spark, "assign", run_id, stats)
+        store.commit(spark, "assign", run_id, stats, attempt=attempt)
         processed = len(pending)
 
     return {"tiles": len(tiles), "processed": processed,

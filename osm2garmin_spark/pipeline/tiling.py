@@ -65,7 +65,8 @@ def run_tiling_pipeline(points: DataFrame, max_nodes: int = DEFAULT_MAX_NODES,
         cells = density_cells(points, lat_col, lon_col, resolution, bounds).persist()
         try:
             tiles = split_area_distributed(cells, exact, resolution,
-                                           max_nodes, first_map_id)
+                                           max_nodes, first_map_id,
+                                           bounds=bounds)
         finally:
             cells.unpersist()
     else:

@@ -9,9 +9,9 @@ the occupied-cell table is collected. Exact data bounds (MapDetails.java:
 reference likewise makes a full analyze pass before the split.
 
 Scale notes (these were measured, not guessed):
-- driver transfer is Arrow-columnar (toPandas) and carries exactly 3 int64
-  columns; per-cell min/max rode along in an earlier version and doubled
-  the transfer for nothing.
+- driver transfer is Arrow-columnar (toPandas), 7 int64 columns: cell key,
+  count, and per-cell lat/lon min/max (the min/max ride the same shuffle so
+  the exact bounds cost no second scan).
 - groupBy output has unique cells, so the driver grid is built by direct
   fancy-index assignment, not np.add.at (buffered ufunc, ~10× slower).
 

@@ -179,17 +179,24 @@ _by_id: Dict[int, _Node] = {}
 def split_area_distributed(cells: DataFrame, exact_area: Area,
                            resolution: int, max_nodes: int,
                            first_map_id: int = 63240001,
-                           max_levels: int = 64) -> List[Area]:
+                           max_levels: int = 64,
+                           bounds: Area = PLANET) -> List[Area]:
     """Distributed twin of quadtree.split_area. ``cells`` is the output of
-    density_cells (cell_x, cell_y, cnt) — persist it before calling."""
+    density_cells (cell_x, cell_y, cnt) — persist it before calling.
+
+    ``bounds`` MUST be the same Area density_cells was called with: cell
+    coordinates are relative to round_area(bounds)'s min corner, so the
+    aggregation origin and the root-window clamp both derive from it
+    (hardcoding PLANET silently mis-addressed every cell for non-planet
+    runs)."""
     global _by_id
     shift = 24 - resolution
-    planet = round_area(PLANET, resolution)
+    origin = round_area(bounds, resolution)
     bbounds = round_area(exact_area, resolution)
-    root_window = Area(max(planet.min_lat, bbounds.min_lat),
-                       max(planet.min_long, bbounds.min_long),
-                       min(planet.max_lat, bbounds.max_lat),
-                       min(planet.max_long, bbounds.max_long))
+    root_window = Area(max(origin.min_lat, bbounds.min_lat),
+                       max(origin.min_long, bbounds.min_long),
+                       min(origin.max_lat, bbounds.max_lat),
+                       min(origin.max_long, bbounds.max_long))
     if root_window.max_lat <= root_window.min_lat or \
        root_window.max_long <= root_window.min_long:
         return []
@@ -209,7 +216,7 @@ def split_area_distributed(cells: DataFrame, exact_area: Area,
     for _level in range(max_levels):
         if not active:
             break
-        vecs = _aggregate_level(cells, active, shift, planet)
+        vecs = _aggregate_level(cells, active, shift, origin)
         next_active: List[_Node] = []
         for n in active:
             colsum_w, rowsum_w = vecs[n.node_id]

@@ -87,3 +87,44 @@ def test_stitch_merges_split_fragment(spark):
     out = stitch_contours(frags).collect()
     assert len(out) == 1
     assert out[0]["xs"] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+@pytest.mark.parametrize("n_frags", [3, 4, 6])
+def test_stitch_merges_long_chain_without_duplication(spark, n_frags):
+    """A fragment must never merge as both left and right side in one round:
+    chain [0,1]+[1,2]+[2,3] previously produced overlapping [0,1,2] and
+    [1,2,3] (ADVICE round 1). The chain must collapse to ONE fragment whose
+    vertices appear exactly once."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "image_id": ["a"] * n_frags,
+        "level": [10.0] * n_frags,
+        "frag_id": list(range(n_frags)),
+        "xs": [[float(i), float(i + 1)] for i in range(n_frags)],
+        "ys": [[0.0, 0.0] for _ in range(n_frags)],
+        "closed": [False] * n_frags,
+    })
+    frags = spark.createDataFrame(pdf)
+    out = stitch_contours(frags).collect()
+    assert len(out) == 1
+    assert out[0]["xs"] == [float(i) for i in range(n_frags + 1)]
+
+
+def test_stitch_closes_ring_of_fragments(spark):
+    """Four open fragments forming a square must stitch into one closed
+    ring (no duplicated interior fragments, closed flag set)."""
+    import pandas as pd
+    corners = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    pdf = pd.DataFrame({
+        "image_id": ["a"] * 4,
+        "level": [10.0] * 4,
+        "frag_id": list(range(4)),
+        "xs": [[corners[i][0], corners[i + 1][0]] for i in range(4)],
+        "ys": [[corners[i][1], corners[i + 1][1]] for i in range(4)],
+        "closed": [False] * 4,
+    })
+    frags = spark.createDataFrame(pdf)
+    out = stitch_contours(frags).collect()
+    assert len(out) == 1
+    assert out[0]["closed"]
+    assert len(out[0]["xs"]) == 5

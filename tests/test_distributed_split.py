@@ -36,6 +36,27 @@ def test_distributed_equals_driver(spark, n, max_nodes, salt, res):
         == [(t.map_id, t.min_lat, t.min_long, t.max_lat, t.max_long) for t in want]
 
 
+def test_distributed_custom_bounds_equals_driver(spark):
+    """Non-PLANET bounds: density_cells emits coords relative to the
+    caller's rounded bounds, so the distributed split must use the same
+    origin (round 1 hardcoded PLANET → 0 tiles; ADVICE item 2)."""
+    from osm2garmin_spark.geo.area import Area
+    from osm2garmin_spark.geo.units import to_map_unit
+
+    bounds = Area(int(to_map_unit(-60.0)), int(to_map_unit(-100.0)),
+                  int(to_map_unit(70.0)), int(to_map_unit(120.0)))
+    pts = _points(spark, 5000).cache()
+    grid, exact = collect_density(pts, resolution=13, bounds=bounds)
+    want = split_area(grid, exact, 13, 300)
+    assert len(want) > 1
+
+    cells = density_cells(pts, resolution=13, bounds=bounds).persist()
+    got = split_area_distributed(cells, exact, 13, 300, bounds=bounds)
+    cells.unpersist()
+    assert [(t.map_id, t.min_lat, t.min_long, t.max_lat, t.max_long) for t in got] \
+        == [(t.map_id, t.min_lat, t.min_long, t.max_lat, t.max_long) for t in want]
+
+
 def test_distributed_single_tile(spark):
     pts = _points(spark, 50)
     grid, exact = collect_density(pts)

@@ -8,7 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from osm2garmin_spark.expressions import derived_lat, derived_lon
-from osm2garmin_spark.pipeline.lineage import LineageStore, run_tiling_resumable
+from osm2garmin_spark.pipeline.lineage import (
+    LineageStore, read_committed_assigned, run_tiling_resumable)
 
 
 @pytest.fixture()
@@ -20,8 +21,7 @@ def points(spark):
 
 
 def _read_assigned(spark, d):
-    return spark.read.parquet(os.path.join(d, "assigned")) \
-        .select("event_id", "tile_id")
+    return read_committed_assigned(spark, d).select("event_id", "tile_id")
 
 
 def test_resume_skips_completed(spark, points, tmp_path):
@@ -70,3 +70,27 @@ def test_rerun_is_noop(spark, points, tmp_path):
     run_tiling_resumable(points, d, max_nodes=300, run_id="a")
     r = run_tiling_resumable(points, d, max_nodes=300, run_id="b")
     assert r["processed"] == 0
+
+
+def test_crash_between_write_and_commit_no_duplicates(spark, points, tmp_path):
+    """A run that dies after the data write but before the lineage commit
+    must leave no visible rows: the resume re-processes everything and the
+    reader never double-counts the orphaned attempt's files."""
+    d = str(tmp_path / "orphan")
+    d_clean = str(tmp_path / "orphan_clean")
+
+    run_tiling_resumable(points, d_clean, max_nodes=300, run_id="c0")
+
+    r1 = run_tiling_resumable(points, d, max_nodes=300, run_id="c1",
+                              fail_before_commit=True)
+    assert r1.get("crashed")
+    # nothing committed → reader sees zero rows despite files on disk
+    assert len(LineageStore(d).completed(spark, "assign")) == 0
+    assert _read_assigned(spark, d).count() == 0
+
+    r2 = run_tiling_resumable(points, d, max_nodes=300, run_id="c2")
+    assert r2["processed"] == r2["tiles"]
+
+    a = sorted(map(tuple, _read_assigned(spark, d).collect()))
+    b = sorted(map(tuple, _read_assigned(spark, d_clean).collect()))
+    assert a == b  # no duplicated rows from the orphaned attempt
