@@ -66,15 +66,20 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-@pandas_udf("double")
-def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Vectorized row-wise cosine between two array columns."""
+def _cosine_pairs_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     ma, mb = _vstack(a), _vstack(b)
     na = np.linalg.norm(ma, axis=1)
     nb = np.linalg.norm(mb, axis=1)
     denom = na * nb
     denom[denom == 0.0] = 1.0
     return pd.Series((ma * mb).sum(axis=1) / denom)
+
+
+def cosine_pairs(a: Column, b: Column) -> Column:
+    """Vectorized row-wise cosine between two array columns (Arrow-batched
+    pandas_udf; created lazily — decorating at import time requires an
+    active SparkContext to parse the return type)."""
+    return pandas_udf(_cosine_pairs_kernel, "double")(a, b)
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,

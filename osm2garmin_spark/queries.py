@@ -535,7 +535,7 @@ def knn_customers_suppliers(spark, sf_dir):
         F.col("s_suppkey").alias("n_id"),
         derived_lat(F.col("s_suppkey") + 300000).alias("n_lat"),
         derived_lon(F.col("s_suppkey") + 300000).alias("n_lon"))
-    out = knn_grid(cust, supp, k=3, cell_deg=45.0)
+    out = knn_grid(cust, supp, k=3)   # cell auto-tuned from supplier density
     return out.select(F.col("q_id").alias("c_custkey"),
                       F.col("n_id").alias("s_suppkey"), "rnk")
 
@@ -842,7 +842,9 @@ def ann_lsh_top3(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     corpus = emb.select(F.col("vec_id").alias("c_id"),
                         F.col("embedding").alias("c_vec"))
-    out = S.ann_lsh_topk(queries, corpus, k=3, dim=64, num_planes=6)
+    # num_planes=None → sized from the corpus count (banded multi-table
+    # LSH; bucket population stays ~constant as the corpus grows)
+    out = S.ann_lsh_topk(queries, corpus, k=3, dim=64)
     return out.select("q_id", "c_id", "rnk")
 
 

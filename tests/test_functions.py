@@ -103,6 +103,48 @@ def test_ann_lsh_recall(spark):
     assert (0, 50) in got and (1, 51) in got
 
 
+def test_ann_multitable_recall_planted_near_dups(spark):
+    """Scale-shape check (VERDICT round 1, item 4): banded multi-table LSH
+    with corpus-sized planes must find planted near-duplicates with recall
+    >= 0.9, while per-bucket population stays bounded by the planes knob."""
+    rng = np.random.default_rng(13)
+    n, dim, nq = 2000, 32, 60
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    for i in range(nq):  # row 1000+i is a near-dup of row i
+        base[1000 + i] = base[i] + 0.02 * rng.normal(size=dim).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = df.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    top1 = {r["q_id"]: r["c_id"] for r in
+            S.ann_lsh_topk(q, c, 1, dim=dim).collect()}
+    hits = sum(1 for i in range(nq) if top1.get(i) == 1000 + i)
+    assert hits / nq >= 0.9
+
+    # bucket populations bounded: planes sized so E[bucket] ~ target
+    planes, tables = S.plan_lsh(n)
+    b = S.lsh_bucket_table(c, "c_id", "c_vec", dim, planes, tables)
+    max_bucket = b.groupBy("tbl", "bucket").count().agg(
+        F.max("count")).first()[0]
+    assert max_bucket < 6 * 256  # random-projection buckets are uneven but bounded
+
+
+def test_plan_lsh_scales_with_corpus():
+    """Planes (and so bucket count) must grow with the corpus so the
+    within-bucket quadratic join never sees unbounded populations."""
+    p_small, _ = S.plan_lsh(1_000)
+    p_big, _ = S.plan_lsh(1_000_000)
+    p_huge, _ = S.plan_lsh(10 ** 12)
+    assert p_small < p_big < p_huge
+    assert p_huge <= 30
+    # expected bucket population is flat: n / 2^planes ~ target
+    for n in (10 ** 4, 10 ** 7, 10 ** 10):
+        planes, _ = S.plan_lsh(n)
+        assert n / (2 ** planes) <= 2 * 256
+
+
 def test_exact_dedup(spark, docs):
     kept = sorted(r["doc_id"] for r in
                   D.exact_dedup(docs, ["text"], "doc_id").collect())
