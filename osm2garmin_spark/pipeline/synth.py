@@ -46,7 +46,9 @@ def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
     imgs = ((x[None, None, :] * a + y[None, :, None] * b
              + ids[:, None, None]) % 256).astype(np.uint8)
 
-    fmts = np.where(ids % 3 == 0, "raw", "q6")
+    # three live codecs: raw (lossless), png (real codec, lossless),
+    # q6 (lossy quantization)
+    fmts = np.where(ids % 3 == 0, "raw", np.where(ids % 3 == 1, "png", "q6"))
     # phash: 64-bit mean-threshold fingerprint of the 8×8 nearest-downsample
     small = imgs[:, ::2, ::2]  # 8×8
     means = small.reshape(n, 64).mean(axis=1, keepdims=True)
@@ -58,10 +60,14 @@ def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
     w2 = CAPTION_WORDS[(ids // 7) % len(CAPTION_WORDS)]
     captions = np.char.add(np.char.add(np.char.add("photo of ", w1), " "), w2)
 
+    from ..operators.png import encode_png
+
     encoded = []
     for i in range(n):
         if fmts[i] == "raw":
             encoded.append(imgs[i].tobytes())
+        elif fmts[i] == "png":
+            encoded.append(encode_png(imgs[i]))
         else:
             encoded.append((imgs[i] >> 2).tobytes())
 

@@ -26,11 +26,14 @@ def test_q6_psnr_above_40():
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
 
 
-def test_real_formats_are_stubbed():
+def test_jpeg_is_stubbed_png_is_real():
     with pytest.raises(NotImplementedError):
-        decode_image(b"", 1, 1, "png")
+        decode_image(b"", 1, 1, "jpeg")
     with pytest.raises(NotImplementedError):
         encode_image(np.zeros((2, 2), np.uint8), "jpeg")
+    img = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    assert np.array_equal(
+        decode_image(encode_image(img, "png"), 2, 2, "png"), img)
 
 
 def test_resize_nearest():
