@@ -83,3 +83,45 @@ def test_stream_first_seen_dedup(spark, tmp_path):
     rows = {(r["bucket"], r["key"])
             for r in spark.sql("select * from firstseen").collect()}
     assert rows == {(0, "a"), (0, "b"), (0, "c"), (1, "x")}
+
+
+def test_stream_first_seen_state_is_per_key(spark, tmp_path):
+    """Scale-shape regression (VERDICT round 1, item 3): many keys across
+    micro-batches, duplicates in later batches. The per-key state layout
+    must admit each key exactly once; batch 2 (all duplicates) emits
+    nothing; the engine-native variant agrees."""
+    import pandas as pd
+    from osm2garmin_spark.streaming.stateful import (
+        stream_first_seen, stream_first_seen_native)
+
+    n = 3000
+    src_dir = str(tmp_path / "many")
+    keys = [f"k{i}" for i in range(n)]
+    spark.createDataFrame(pd.DataFrame(
+        {"bucket": [i % 7 for i in range(n)], "key": keys})) \
+        .coalesce(1).write.parquet(src_dir)
+    # batch 2: pure duplicates; batch 3: half dup, half novel
+    spark.createDataFrame(pd.DataFrame(
+        {"bucket": [i % 7 for i in range(n)], "key": keys})) \
+        .coalesce(1).write.mode("append").parquet(src_dir)
+    spark.createDataFrame(pd.DataFrame(
+        {"bucket": [(i + n // 2) % 7 for i in range(n)],
+         "key": [f"k{i + n // 2}" for i in range(n)]})) \
+        .coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (spark.readStream.schema("bucket long, key string")
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (stream_first_seen(stream).writeStream
+         .format("memory").queryName("firstseen_many")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select key from firstseen_many").collect()
+    assert len(got) == len({r["key"] for r in got}) == n + n // 2
+
+    q2 = (stream_first_seen_native(stream).writeStream
+          .format("memory").queryName("firstseen_native")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    native = {r["key"] for r in spark.sql(
+        "select key from firstseen_native").collect()}
+    assert native == {r["key"] for r in got}
