@@ -135,11 +135,48 @@ def marching_squares(grid: np.ndarray, level: float) -> List[np.ndarray]:
 CONTOUR_SCHEMA = ("image_id string, level double, frag_id int, "
                   "xs array<double>, ys array<double>, closed boolean")
 
+#: reference defaults (settings.properties:70-82)
+MINOR_INTERVAL = 25.0
+MEDIUM_INTERVAL = 50.0
+MAJOR_INTERVAL = 100.0
+PLOT_MINOR_THRESHOLD = 500.0
+PLOT_MEDIUM_THRESHOLD = 2400.0
+DENSITY_BUDGET = 4
 
-def extract_contours(images: DataFrame, step: float = 32.0) -> DataFrame:
+
+def adaptive_interval(extent: float,
+                      minor: float = MINOR_INTERVAL,
+                      medium: float = MEDIUM_INTERVAL,
+                      major: float = MAJOR_INTERVAL,
+                      minor_thr: float = PLOT_MINOR_THRESHOLD,
+                      medium_thr: float = PLOT_MEDIUM_THRESHOLD) -> float:
+    """Contour interval from local relief — exact reference control flow
+    (Srtm2Osm.java:125-138): pick minor/medium/major by the window's
+    min-max extent, then if the extent can't fit two intervals fall down
+    the 10/5/2/1 ladder so flat windows still get contours."""
+    interval = minor if extent < minor_thr else medium
+    interval = interval if extent < medium_thr else major
+    if extent < 2 * interval:
+        if extent > 15:
+            interval = 10.0
+        elif extent > 10:
+            interval = 5.0
+        elif extent > 5:
+            interval = 2.0
+        else:
+            interval = 1.0
+    return float(interval)
+
+
+def extract_contours(images: DataFrame, step: float | None = None) -> DataFrame:
     """Per-image contour extraction: decode bytes → elevation grid (uint8) →
     marching squares at the reference level series. One output row per
-    polyline fragment. All heavy work in Arrow batches on executors."""
+    polyline fragment. All heavy work in Arrow batches on executors.
+
+    step=None (default) selects the interval adaptively from each image's
+    own relief extent (adaptive_interval — Srtm2Osm.java:125-138; the
+    reference's adaptivity unit is the 120×120 subtile, ours the image);
+    an explicit step pins a fixed interval."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -148,7 +185,9 @@ def extract_contours(images: DataFrame, step: float = 32.0) -> DataFrame:
             for iid, b, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
                                          pdf["w"], pdf["h"], pdf["fmt"]):
                 grid = decode_image(b, int(w), int(h), fmt).astype(np.float64)
-                levels = contour_levels(float(grid.min()), float(grid.max()), step)
+                zmin, zmax = float(grid.min()), float(grid.max())
+                iv = adaptive_interval(zmax - zmin) if step is None else step
+                levels = contour_levels(zmin, zmax, iv)
                 fid = 0
                 for lv in levels:
                     for line in marching_squares(grid, float(lv)):
@@ -253,17 +292,100 @@ def allocate_contour_ids(contours: DataFrame,
                                F.row_number().over(w) + F.lit(start_id - 1))
 
 
-def prune_by_density(contours: DataFrame, cell: float = 4.0,
-                     budget: int = 64) -> DataFrame:
-    """Segment-density pruning (checkContoursDensity analogue): count
-    segment midpoints per (image, density-cell); drop whole fragments whose
-    mean cell-load exceeds the budget."""
-    mid_x = F.element_at("xs", (F.size("xs") / 2 + 1).cast("int"))
-    mid_y = F.element_at("ys", (F.size("ys") / 2 + 1).cast("int"))
-    keyed = contours.withColumn("_cx", F.floor(mid_x / cell)) \
-                    .withColumn("_cy", F.floor(mid_y / cell))
-    load = keyed.groupBy("image_id", "_cx", "_cy") \
-                .agg(F.sum(F.size("xs")).alias("_load"))
-    return (keyed.join(load, ["image_id", "_cx", "_cy"])
-            .filter(F.col("_load") <= budget * cell)
-            .drop("_cx", "_cy", "_load"))
+def check_contours_density(contours: list, delta: float = 1.0,
+                           budget: int = DENSITY_BUDGET,
+                           major_interval: float = MAJOR_INTERVAL) -> list:
+    """Direct re-implementation of the reference's per-tile density pass
+    (Srtm2Osm.checkContoursDensity:295-355), exact semantics:
+
+    - each SEGMENT's midpoint cell (int(mid/delta)) increments density;
+      major contours (int(z) % major == 0) also increment majorDensity —
+      grids are computed once from the ORIGINAL contour set and never
+      decremented during removal;
+    - a segment is removed when majorDensity > budget, or density > budget
+      and the contour is not major (z % major != 0);
+    - removal mechanics: first segment → drop first point (recheck);
+      last segment → drop last point; closed contour mid-segment → rotate
+      one point and rescan from the start (the reference's id<i loop runs
+      exactly once); open mid-segment → split, the tail becomes a new
+      contour appended to the work list (and is itself processed).
+
+    contours: list of dicts {"z": float, "pts": [(x, y), ...],
+    "closed": bool} — mutated in place and returned. Runs per image inside
+    prune_by_density's applyInPandas kernel; the driver never sees it."""
+    if not contours:
+        return contours
+    from collections import Counter
+    density: Counter = Counter()
+    major_density: Counter = Counter()
+    for c in contours:
+        pts = c["pts"]
+        is_major = int(c["z"]) % major_interval == 0
+        for i in range(1, len(pts)):
+            key = (int(((pts[i - 1][0] + pts[i][0]) / 2) / delta),
+                   (int(((pts[i - 1][1] + pts[i][1]) / 2) / delta)))
+            density[key] += 1
+            if is_major:
+                major_density[key] += 1
+
+    k = 0
+    while k < len(contours):          # appended split tails are processed too
+        c = contours[k]
+        pts = c["pts"]
+        i = 1
+        while i < len(pts):
+            key = (int(((pts[i - 1][0] + pts[i][0]) / 2) / delta),
+                   (int(((pts[i - 1][1] + pts[i][1]) / 2) / delta)))
+            if (major_density[key] > budget
+                    or (density[key] > budget
+                        and c["z"] % major_interval != 0)):
+                if i == 1:                       # first segment
+                    pts.pop(0)
+                    c["closed"] = False
+                    i -= 1                       # recheck the slot
+                elif i == len(pts) - 1:          # last segment
+                    pts.pop(i)
+                    c["closed"] = False
+                elif c["closed"]:                # rotate once, rescan
+                    pts.append(pts.pop(0))
+                    c["closed"] = False
+                    i = 0
+                else:                            # open mid-segment: split
+                    tail = pts[i:]
+                    del pts[i:]
+                    contours.append({"z": c["z"], "pts": tail,
+                                     "closed": False})
+            i += 1
+        k += 1
+    return [c for c in contours if len(c["pts"]) >= 2]
+
+
+def prune_by_density(contours: DataFrame, cell: float = 1.0,
+                     budget: int = DENSITY_BUDGET,
+                     major_interval: float = MAJOR_INTERVAL) -> DataFrame:
+    """Distributed per-segment density pruning: the reference runs
+    checkContoursDensity once per SRTM tile; our unit is the image, so the
+    pass is an applyInPandas over image_id groups — every image's full
+    contour set (all levels) shares one density grid, exactly like the
+    reference's per-tile grids, and images proceed in parallel. Default
+    delta = one grid cell (the reference's delta is one DEM sample
+    spacing) and budget = 4 (settings.properties contours_density)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frag_id")
+        clist = [{"z": float(z), "pts": list(zip(xs, ys)), "closed": bool(cl)}
+                 for z, xs, ys, cl in zip(pdf["level"], pdf["xs"],
+                                          pdf["ys"], pdf["closed"])]
+        kept = check_contours_density(clist, cell, budget, major_interval)
+        iid = pdf["image_id"].iat[0] if len(pdf) else None
+        return pd.DataFrame({
+            "image_id": [iid] * len(kept),
+            "level": [c["z"] for c in kept],
+            "frag_id": list(range(len(kept))),     # deterministic renumber
+            "xs": [[p[0] for p in c["pts"]] for c in kept],
+            "ys": [[p[1] for p in c["pts"]] for c in kept],
+            "closed": [c["closed"] for c in kept],
+        })
+
+    return contours.groupBy("image_id").applyInPandas(
+        kernel, schema=CONTOUR_SCHEMA)

@@ -5,7 +5,8 @@ import pytest
 
 from osm2garmin_spark.operators.contours import (
     contour_levels, marching_squares, extract_contours, stitch_contours,
-    allocate_contour_ids,
+    allocate_contour_ids, adaptive_interval, check_contours_density,
+    prune_by_density,
 )
 
 
@@ -87,6 +88,89 @@ def test_stitch_merges_split_fragment(spark):
     out = stitch_contours(frags).collect()
     assert len(out) == 1
     assert out[0]["xs"] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_adaptive_interval_reference_ladder():
+    """Srtm2Osm.java:125-138 control flow, exact thresholds
+    (settings.properties: 25/50/100 m, plot thresholds 500/2400 m)."""
+    assert adaptive_interval(400) == 25.0       # below minor threshold
+    assert adaptive_interval(1000) == 50.0      # minor..medium band
+    assert adaptive_interval(3000) == 100.0     # above medium threshold
+    # extent < 2*interval → 10/5/2/1 ladder
+    assert adaptive_interval(40) == 10.0        # 40 < 50, >15
+    assert adaptive_interval(12) == 5.0
+    assert adaptive_interval(7) == 2.0
+    assert adaptive_interval(3) == 1.0
+
+
+def _mk(z, pts, closed=False):
+    return {"z": float(z), "pts": list(pts), "closed": closed}
+
+
+def test_density_prune_under_budget_unchanged():
+    cs = [_mk(25, [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)])]
+    out = check_contours_density([dict(c, pts=list(c["pts"])) for c in cs],
+                                 delta=1.0, budget=4)
+    assert out[0]["pts"] == cs[0]["pts"]
+
+
+def test_density_prune_removes_minor_keeps_major():
+    """5 minor contours + 1 major through one cell, budget 4: minor
+    density (5) exceeds the budget so minor segments in that cell go;
+    major density (1) does not, so the major contour survives intact."""
+    pts = [(0.2, 0.2), (0.4, 0.4)]     # midpoint cell (0,0)
+    cs = [_mk(z, pts) for z in (25, 50, 75, 125, 150)] + [_mk(100, pts)]
+    out = check_contours_density(cs, delta=1.0, budget=4)
+    zs = sorted(c["z"] for c in out)
+    assert zs == [100.0]               # only the major contour survives
+
+
+def test_density_prune_major_overload_removes_major():
+    pts = [(0.2, 0.2), (0.4, 0.4)]
+    cs = [_mk(100 * (i + 1), pts) for i in range(5)]   # 5 majors, budget 4
+    out = check_contours_density(cs, delta=1.0, budget=4)
+    assert out == []                   # majorDensity > budget kills all
+
+
+def test_density_prune_middle_split():
+    """An open contour whose MIDDLE segment crosses the hot cell splits in
+    two; head and tail both survive (reference split mechanics)."""
+    hot = [(10.2, 10.2), (10.4, 10.4)]
+    cs = [_mk(z, hot) for z in (25, 50, 75, 125, 150)]   # overload cell (10,10)
+    crossing = _mk(175, [(8.5, 8.5), (9.5, 9.5), (10.3, 10.3),
+                         (10.45, 10.45), (12.5, 12.5), (13.5, 13.5)])
+    cs.append(crossing)
+    out = check_contours_density(cs, delta=1.0, budget=4)
+    parts = [c for c in out if c["z"] == 175.0]
+    # segment (9.5,9.5)-(10.3,10.3) has midpoint cell (9,9) — fine;
+    # (10.3)-(10.45) midpoint cell (10,10) — removed → split
+    assert len(parts) == 2
+    assert parts[0]["pts"][-1] == (10.3, 10.3)
+    assert parts[1]["pts"][0] == (10.45, 10.45)
+
+
+def test_prune_by_density_distributed_matches_local(spark):
+    """applyInPandas twin must equal the local port per image."""
+    import pandas as pd
+    rows = []
+    for img in ("a", "b"):
+        hot = [(0.2, 0.2), (0.4, 0.4)]
+        for fid, z in enumerate((25, 50, 75, 125, 150, 100)):
+            rows.append((img, float(z), fid,
+                         [p[0] for p in hot], [p[1] for p in hot], False))
+        rows.append((img, 175.0, 6,
+                     [5.5, 6.5, 7.5], [5.5, 6.5, 7.5], False))
+    df = spark.createDataFrame(
+        rows, "image_id string, level double, frag_id int, "
+              "xs array<double>, ys array<double>, closed boolean")
+    got = prune_by_density(df).collect()
+    by_img = {}
+    for r in got:
+        by_img.setdefault(r["image_id"], []).append(
+            (r["level"], tuple(r["xs"]), tuple(r["ys"])))
+    for img in ("a", "b"):
+        zs = sorted(x[0] for x in by_img[img])
+        assert zs == [100.0, 175.0]    # major survives + untouched contour
 
 
 @pytest.mark.parametrize("n_frags", [3, 4, 6])
