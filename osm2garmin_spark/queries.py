@@ -803,6 +803,51 @@ SELECT event_id, event_type, value_cents FROM changes WHERE action <> 'delete'
 """
 
 
+def apply_changes_gated(spark, sf_dir):
+    """freshness-gated incremental merge (settings.properties
+    planet_minimum_age: change rows younger than min_age at the run's
+    as-of instant wait for the next run). Same change stream as
+    apply_changes_events but each change carries its event ts; the gate
+    admits only changes aged ≥ 8 h at 2024-01-16 00:00."""
+    from .streaming.incremental import apply_changes, gate_changes_by_age
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select("event_id", "event_type",
+                     _cents(F.col("value")).alias("value_cents"))
+    mods = (ev.filter(F.col("event_id") % 10 == 3)
+            .select("event_id", "event_type",
+                    (_cents(F.col("value")) + 100).alias("value_cents"),
+                    F.lit("modify").alias("action"), F.lit(2).alias("version"),
+                    F.col("ts")))
+    dels = (ev.filter(F.col("event_id") % 10 == 7)
+            .select("event_id", "event_type",
+                    _cents(F.col("value")).alias("value_cents"),
+                    F.lit("delete").alias("action"), F.lit(2).alias("version"),
+                    F.col("ts")))
+    changes = gate_changes_by_age(mods.unionByName(dels),
+                                  "2024-01-16 00:00:00",
+                                  min_age_hours=8.0).drop("ts")
+    return apply_changes(base, changes, "event_id")
+
+
+_APPLY_GATED_SQL = f"""
+WITH changes AS (
+  SELECT event_id, event_type, {_cents_sql('value')} + 100 AS value_cents,
+         'modify' AS action, ts FROM events WHERE event_id % 10 = 3
+  UNION ALL
+  SELECT event_id, event_type, {_cents_sql('value')} AS value_cents,
+         'delete' AS action, ts FROM events WHERE event_id % 10 = 7
+), gated AS (
+  SELECT * FROM changes
+  WHERE ts <= TIMESTAMP '2024-01-16 00:00:00' - INTERVAL 8 HOURS
+)
+SELECT event_id, event_type, {_cents_sql('value')} AS value_cents FROM events
+WHERE event_id NOT IN (SELECT event_id FROM gated)
+UNION ALL
+SELECT event_id, event_type, value_cents FROM gated WHERE action <> 'delete'
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible ops (rows-only driver check)
 # ---------------------------------------------------------------------------
@@ -878,6 +923,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_docs": jaccard_pairs_docs,
         "embed_top3": embed_top3,
         "apply_changes_events": apply_changes_events,
+        "apply_changes_gated": apply_changes_gated,
         "tile_names": tile_names,
         "tiling_pipeline_counts": tiling_pipeline_counts,
         "image_decode_stats": image_decode_stats,
@@ -912,6 +958,7 @@ def oracle_sql() -> Dict[str, str]:
         "jaccard_pairs_docs": _JACCARD_SQL,
         "embed_top3": _EMBED_SQL,
         "apply_changes_events": _APPLY_SQL,
+        "apply_changes_gated": _APPLY_GATED_SQL,
         "tile_names": _TILE_NAMES_SQL,
         # tiling_pipeline_counts / image_decode_stats / minhash_candidates /
         # ann_lsh_top3: non-SQL-expressible (driver quadtree, binary decode,

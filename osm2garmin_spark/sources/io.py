@@ -4,8 +4,13 @@
   degree comment line (AreaList.write:55-84 / read:150-200). This is the
   reference's canonical tile artifact — emitting it byte-compatible lets
   reference tooling consume our splits directly.
-- KML polygon export (AreaList.writeKml:92-148 observable format) and a
-  GeoJSON twin for modern consumers.
+- KML polygon export (AreaList.writeKml:92-148 observable format), a KML
+  READER matching the reference parser's contract (KmlParser.java:24-125:
+  Placemark name = integer map id, outerBoundaryIs LinearRing with
+  exactly 5 lon,lat pairs → map-unit Area), and a GeoJSON twin.
+- Osmosis .poly region source: full polygon sections incl. "!"-prefixed
+  holes (feeds operators/pip.pip_join) plus the reference's envelope
+  semantics (Region.envelope:163-187 — bbox over 3-field lines).
 - SRTM-style cell naming N50E014 (srtm2osm/Srtm.getName:59-79).
 
 All driver-side (tile lists are tiny); the at-scale artifacts are the
@@ -61,6 +66,107 @@ def write_tiles_kml(tiles: Sequence[Area], path: str) -> None:
                     f"{ring(t)}</coordinates></LinearRing></outerBoundaryIs>"
                     f"</Polygon></Placemark>\n")
         f.write("</Document>\n</kml>\n")
+
+
+def read_tiles_kml(path: str) -> List[Area]:
+    """KML area source (KmlParser.java:24-125 contract): every Placemark
+    must carry an integer <name> (the map id) and a Polygon/
+    outerBoundaryIs/LinearRing/coordinates ring of EXACTLY five lon,lat
+    pairs (a closed rectangle); corner pairs 0 and 2 become the min/max
+    map-unit corners. Raises ValueError on contract violations, like the
+    reference parser does."""
+    import xml.etree.ElementTree as ET
+
+    from ..geo.units import to_map_unit
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    tiles: List[Area] = []
+    root = ET.parse(path).getroot()
+    for pm in root.iter():
+        if local(pm.tag) != "Placemark":
+            continue
+        map_id = None
+        coords_text = None
+        for el in pm.iter():
+            if local(el.tag) == "name":
+                try:
+                    map_id = int(el.text.strip())
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"Unexpected area name: expected a valid number, "
+                        f"found {el.text!r}")
+            elif local(el.tag) == "coordinates":
+                coords_text = el.text or ""
+        if coords_text is None:
+            continue
+        pairs = coords_text.strip().split()
+        if len(pairs) != 5:
+            raise ValueError(
+                f"Unexpected number of coordinates: expected 5, found "
+                f"{len(pairs)}")
+        cc = []
+        for p in pairs:
+            parts = p.split(",")
+            if len(parts) < 2:
+                raise ValueError(f"Unexpected coordinate pair {p!r}")
+            cc.extend([int(to_map_unit(float(parts[0]))),
+                       int(to_map_unit(float(parts[1])))])
+        # pair 0 = (minLon, minLat), pair 2 = (maxLon, maxLat)
+        tiles.append(Area(cc[1], cc[0], cc[5], cc[4], map_id=map_id))
+    return tiles
+
+
+def read_poly(path: str) -> dict:
+    """Osmosis .poly region source: {"name": str, "rings": [...],
+    "holes": [...]} where each ring/hole is a [(lon, lat), ...] list of
+    degree vertices. Sections whose header starts with "!" are holes.
+    The vertex lists feed operators/pip.pip_join directly."""
+    name = None
+    rings: List[list] = []
+    holes: List[list] = []
+    cur: list | None = None
+    cur_hole = False
+    with open(path) as f:
+        for raw in f:
+            line = raw.strip()
+            if name is None:
+                name = line
+                continue
+            if not line:
+                continue
+            if line == "END":
+                if cur is not None:          # section end
+                    (holes if cur_hole else rings).append(cur)
+                    cur = None
+                continue                      # trailing file END is a no-op
+            parts = line.split()
+            if cur is None:
+                cur_hole = line.startswith("!")
+                cur = []
+                continue
+            if len(parts) >= 2:
+                cur.append((float(parts[0]), float(parts[1])))
+    return {"name": name or "", "rings": rings, "holes": holes}
+
+
+def poly_envelope(path: str) -> tuple:
+    """(lon_min, lat_min, lon_max, lat_max) over the .poly file with the
+    REFERENCE's exact line discipline (Region.envelope:163-187): only
+    lines splitting into exactly 3 fields on runs of spaces count, with
+    field[1]=lon and field[2]=lat (leading whitespace yields the empty
+    first field)."""
+    lon1, lon2, lat1, lat2 = 181.0, -181.0, 91.0, -91.0
+    with open(path) as f:
+        for raw in f:
+            s = re.split(" +", raw.rstrip("\n"))
+            if len(s) != 3:
+                continue
+            lon, lat = float(s[1]), float(s[2])
+            lon1, lon2 = min(lon, lon1), max(lon, lon2)
+            lat1, lat2 = min(lat, lat1), max(lat, lat2)
+    return (lon1, lat1, lon2, lat2)
 
 
 def write_tiles_geojson(tiles: Sequence[Area], path: str) -> None:

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from osm2garmin_spark.geo.area import Area
 from osm2garmin_spark.sources.io import (
     write_areas_list, read_areas_list, write_tiles_kml, write_tiles_geojson,
-    srtm_cell_name,
+    read_tiles_kml, read_poly, poly_envelope, srtm_cell_name,
 )
 from osm2garmin_spark.operators.naming import name_tiles
 from osm2garmin_spark.operators.pip import pip_join
@@ -39,6 +39,84 @@ def test_kml_geojson(tmp_path):
     gj = json.load(open(g))
     assert len(gj["features"]) == 2
     assert gj["features"][0]["properties"]["tile_id"] == 63240001
+
+
+def test_kml_reader_roundtrip(tmp_path):
+    """KML source (KmlParser.java contract): our own writer's output reads
+    back to the same map-unit tiles (±1 map unit through the 6-decimal
+    degree text representation)."""
+    k = str(tmp_path / "rt.kml")
+    write_tiles_kml(TILES, k)
+    back = read_tiles_kml(k)
+    assert [t.map_id for t in back] == [t.map_id for t in TILES]
+    for got, want in zip(back, TILES):
+        for a, b in ((got.min_lat, want.min_lat), (got.min_long, want.min_long),
+                     (got.max_lat, want.max_lat), (got.max_long, want.max_long)):
+            assert abs(a - b) <= 1
+
+
+def test_kml_reader_contract_violations(tmp_path):
+    p = str(tmp_path / "bad.kml")
+    with open(p, "w") as f:
+        f.write('<kml><Document><Placemark><name>notanumber</name>'
+                '<Polygon><outerBoundaryIs><LinearRing><coordinates>'
+                '0,0 1,0 1,1 0,1 0,0</coordinates></LinearRing>'
+                '</outerBoundaryIs></Polygon></Placemark></Document></kml>')
+    with pytest.raises(ValueError, match="valid number"):
+        read_tiles_kml(p)
+    with open(p, "w") as f:
+        f.write('<kml><Document><Placemark><name>1</name>'
+                '<Polygon><outerBoundaryIs><LinearRing><coordinates>'
+                '0,0 1,1 0,0</coordinates></LinearRing>'
+                '</outerBoundaryIs></Polygon></Placemark></Document></kml>')
+    with pytest.raises(ValueError, match="Expected 5|expected 5"):
+        read_tiles_kml(p)
+
+
+_POLY = """australia_v
+first_area
+     0.1446763E+03    -0.3825659E+02
+     0.1446693E+03    -0.3826255E+02
+     0.1446627E+03    -0.3825661E+02
+     0.1446763E+03    -0.3825659E+02
+END
+!hole1
+     0.1446700E+03    -0.3825800E+02
+     0.1446710E+03    -0.3825900E+02
+     0.1446705E+03    -0.3825850E+02
+END
+END
+"""
+
+
+def test_poly_reader_and_envelope(tmp_path):
+    p = str(tmp_path / "r.poly")
+    with open(p, "w") as f:
+        f.write(_POLY)
+    r = read_poly(p)
+    assert r["name"] == "australia_v"
+    assert len(r["rings"]) == 1 and len(r["holes"]) == 1
+    assert len(r["rings"][0]) == 4
+    assert r["rings"][0][0] == (144.6763, -38.25659)
+    # envelope with the reference's exact 3-field line discipline
+    lon1, lat1, lon2, lat2 = poly_envelope(p)
+    assert lon1 == 144.6627 and lon2 == 144.6763
+    assert lat1 == -38.26255 and lat2 == -38.25659
+
+
+def test_poly_feeds_pip_join(spark, tmp_path):
+    """.poly rings are pip_join-ready vertex lists (Region → PIP path)."""
+    p = str(tmp_path / "sq.poly")
+    with open(p, "w") as f:
+        f.write("sq\narea\n  0.0  0.0\n  4.0  0.0\n  4.0  4.0\n  0.0  4.0\nEND\nEND\n")
+    r = read_poly(p)
+    ring_latlon = [(la, lo) for lo, la in r["rings"][0]]  # .poly is lon lat
+    pts = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 5.0, 5.0)], "id long, lon double, lat double")
+    got = {row["id"] for row in
+           pip_join(pts, [(7, ring_latlon)],
+                    lat_col="lat", lon_col="lon").collect()}
+    assert got == {1}
 
 
 def test_srtm_cell_name():

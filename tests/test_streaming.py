@@ -34,6 +34,50 @@ def test_apply_changes_merge(spark):
     assert out == {1: "a", 2: "B", 4: "d"}
 
 
+def test_gate_changes_by_age(spark):
+    """planet_minimum_age semantics: only changes aged >= min_age at the
+    as-of instant are admitted."""
+    from osm2garmin_spark.streaming.incremental import gate_changes_by_age
+
+    rows = [(1, "modify", 1, "2024-01-15 10:00:00"),   # 14h old → admitted
+            (2, "modify", 1, "2024-01-15 16:00:00"),   # exactly 8h → admitted
+            (3, "modify", 1, "2024-01-15 20:00:00")]   # 4h old → gated out
+    df = spark.createDataFrame(rows, "id long, action string, version int, t string") \
+        .withColumn("ts", F.to_timestamp("t"))
+    got = {r["id"] for r in gate_changes_by_age(
+        df, "2024-01-16 00:00:00", min_age_hours=8.0).collect()}
+    assert got == {1, 2}
+
+
+def test_compact_batches_thirty_to_one(spark):
+    """PlanetUpdateDownloader merges each 30 hourly diffs into one batch
+    named after its first sequence; latest version per id wins within."""
+    from osm2garmin_spark.streaming.incremental import compact_batches
+
+    rows = []
+    for seq in range(60):                      # two batches: 0-29, 30-59
+        rows.append((seq % 5, "modify", seq, seq, f"v{seq}"))
+    df = spark.createDataFrame(
+        rows, "id long, action string, version int, seq int, v string")
+    out = compact_batches(df, "id", batch_size=30).collect()
+    assert {r["batch_seq"] for r in out} == {0, 30}
+    by = {(r["batch_seq"], r["id"]): r["v"] for r in out}
+    assert len(by) == 10                       # 5 ids × 2 batches
+    # id 0 appears at seq 0,5,...,25 in batch 0 → latest version 25 wins
+    assert by[(0, 0)] == "v25"
+    assert by[(0, 30 % 5)] == "v25"
+    assert by[(30, 0)] == "v55"
+
+
+def test_apply_gated_differs_from_ungated(spark, events):
+    """The gate must change the merge result when young changes exist."""
+    import __spark_entry__ as e
+    qs = e.queries()
+    gated = qs["apply_changes_gated"](spark, SF).count()
+    full = qs["apply_changes_events"](spark, SF).count()
+    assert gated != full
+
+
 def test_stream_hourly_matches_batch(spark, events, tmp_path):
     src_dir = str(tmp_path / "stream_src")
     events.write.parquet(src_dir)
