@@ -52,6 +52,11 @@ def marching_squares(grid: np.ndarray, level: float) -> List[np.ndarray]:
     coordinates. Standard marching squares with linear interpolation and
     deterministic segment assembly (endpoint dict, lowest-key-first chain
     starts).
+
+    NaN samples are nodata (the reference marks |elevation| ≥ 10000 as the
+    32768 void sentinel, Srtm2Osm.java:115-121): any 2×2 block touching a
+    void sample emits no segments, exactly like the reference's
+    void-flagged cells — no false contour rings around data holes.
     """
     h, w = grid.shape
     if h < 2 or w < 2:
@@ -64,7 +69,12 @@ def marching_squares(grid: np.ndarray, level: float) -> List[np.ndarray]:
     bl = above[1:, :-1]; br = above[1:, 1:]
     case = (tl.astype(np.int8) + tr.astype(np.int8) * 2
             + br.astype(np.int8) * 4 + bl.astype(np.int8) * 8)
-    ys, xs = np.nonzero((case > 0) & (case < 15))
+    emit = (case > 0) & (case < 15)
+    valid = np.isfinite(grid)
+    if not valid.all():
+        emit &= (valid[:-1, :-1] & valid[:-1, 1:]
+                 & valid[1:, :-1] & valid[1:, 1:])
+    ys, xs = np.nonzero(emit)
 
     # lookup: per case, list of (edge_a, edge_b) pairs; edges 0=top,1=right,
     # 2=bottom,3=left of the 2×2 cell
@@ -168,7 +178,8 @@ def adaptive_interval(extent: float,
     return float(interval)
 
 
-def extract_contours(images: DataFrame, step: float | None = None) -> DataFrame:
+def extract_contours(images: DataFrame, step: float | None = None,
+                     valid_range: tuple | None = None) -> DataFrame:
     """Per-image contour extraction: decode bytes → elevation grid (uint8) →
     marching squares at the reference level series. One output row per
     polyline fragment. All heavy work in Arrow batches on executors.
@@ -176,7 +187,11 @@ def extract_contours(images: DataFrame, step: float | None = None) -> DataFrame:
     step=None (default) selects the interval adaptively from each image's
     own relief extent (adaptive_interval — Srtm2Osm.java:125-138; the
     reference's adaptivity unit is the 120×120 subtile, ours the image);
-    an explicit step pins a fixed interval."""
+    an explicit step pins a fixed interval.
+
+    valid_range=(lo, hi): samples outside the CLOSED range are void
+    (reference sentinel semantics, |dd| ≥ 10000 → 32768 nodata): they are
+    excluded from the extent/level series and suppress their 2×2 blocks."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -185,7 +200,13 @@ def extract_contours(images: DataFrame, step: float | None = None) -> DataFrame:
             for iid, b, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
                                          pdf["w"], pdf["h"], pdf["fmt"]):
                 grid = decode_image(b, int(w), int(h), fmt).astype(np.float64)
-                zmin, zmax = float(grid.min()), float(grid.max())
+                if valid_range is not None:
+                    lo, hi = valid_range
+                    grid[(grid < lo) | (grid > hi)] = np.nan
+                finite = grid[np.isfinite(grid)]
+                if finite.size == 0:
+                    continue
+                zmin, zmax = float(finite.min()), float(finite.max())
                 iv = adaptive_interval(zmax - zmin) if step is None else step
                 levels = contour_levels(zmin, zmax, iv)
                 fid = 0
@@ -199,7 +220,8 @@ def extract_contours(images: DataFrame, step: float | None = None) -> DataFrame:
                         out["closed"].append(
                             bool(np.all(line[0] == line[-1]) and len(line) > 2))
                         fid += 1
-            yield pd.DataFrame(out)
+            if out["image_id"]:     # empty frame breaks Arrow list inference
+                yield pd.DataFrame(out)
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
                  .mapInPandas(kernel, schema=CONTOUR_SCHEMA)

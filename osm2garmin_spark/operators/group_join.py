@@ -36,6 +36,34 @@ def assign_groups_to_tiles(members: DataFrame, node_tiles: DataFrame,
              .agg(F.array_sort(F.collect_set("tile_id")).alias("tile_ids")))
 
 
+def filter_invalid_members(members: DataFrame, valid_ids: DataFrame,
+                           ref_col: str = "ref",
+                           id_col: str = "node_id") -> DataFrame:
+    """Explicit invalid-member filter: keep only membership rows whose ref
+    exists in the valid-id table (left-semi join — never fabricates or
+    duplicates rows). The reference silently skips unknown members when
+    probing its long→tileset index (SplitProcessor.java:109-115,139-151);
+    this is that skip as a standalone, testable relational step for
+    pipelines that need the cleansed membership table itself (e.g. to
+    count/report dangling refs via the anti-join complement)."""
+    return members.join(
+        valid_ids.select(F.col(id_col).alias(ref_col)).distinct(),
+        ref_col, "left_semi")
+
+
+def strip_ingest_tags(df: DataFrame, tags_col: str = "tags",
+                      drop: tuple = ("created_by",)) -> DataFrame:
+    """Ingest cleansing: remove noise tags (created_by & friends) from a
+    map<string,string> column before anything is shuffled or persisted —
+    the reference drops created_by at parse time to keep elements small.
+    Pure column expression (map_filter), no UDF."""
+    dropped = F.array(*[F.lit(k) for k in drop])
+    return df.withColumn(
+        tags_col,
+        F.map_filter(F.col(tags_col),
+                     lambda k, _v: ~F.array_contains(dropped, k)))
+
+
 def assign_relations_to_tiles(rel_members: DataFrame, node_tiles: DataFrame,
                               group_tiles: DataFrame,
                               rel_col: str = "rel_id") -> DataFrame:

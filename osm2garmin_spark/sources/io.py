@@ -169,6 +169,40 @@ def poly_envelope(path: str) -> tuple:
     return (lon1, lat1, lon2, lat2)
 
 
+def read_regions_txt(path: str, poly_dir: str | None = None) -> List[dict]:
+    """regions.txt source (Osm2garmin.java:219-275 semantics): lines of
+    ``lon1 lat1 lon2 lat2 name`` split on runs of spaces; ``#``-comment
+    lines are skipped; ``x``-prefixed (GUI-excluded) lines are skipped but
+    STILL consume a family id; family ids start at 5001. If
+    ``poly_dir/<name>.poly`` exists it overrides the bbox with the poly
+    envelope and attaches the parsed polygon (Region.envelope +
+    polygonFile behavior)."""
+    import os as _os
+
+    regions: List[dict] = []
+    family_id = 5001
+    with open(path) as f:
+        for raw in f:
+            l = re.split(" +", raw.strip())
+            if len(l) >= 5 and not (l[0].startswith("#") or l[0].startswith("x")):
+                reg = {"name": l[4], "family_id": family_id,
+                       "lon1": float(l[0]), "lat1": float(l[1]),
+                       "lon2": float(l[2]), "lat2": float(l[3]),
+                       "poly": None}
+                family_id += 1
+                if poly_dir is not None:
+                    pf = _os.path.join(poly_dir, reg["name"] + ".poly")
+                    if _os.path.exists(pf):
+                        reg["poly"] = read_poly(pf)
+                        lon1, lat1, lon2, lat2 = poly_envelope(pf)
+                        reg.update(lon1=lon1, lat1=lat1,
+                                   lon2=lon2, lat2=lat2)
+                regions.append(reg)
+            elif l and l[0].startswith("x"):
+                family_id += 1
+    return regions
+
+
 def write_tiles_geojson(tiles: Sequence[Area], path: str) -> None:
     import json
     feats = []

@@ -90,6 +90,36 @@ def test_stitch_merges_split_fragment(spark):
     assert out[0]["xs"] == [0.0, 1.0, 2.0, 3.0, 4.0]
 
 
+def test_marching_squares_nodata_suppresses_blocks():
+    """Void samples (NaN ≙ the reference's 32768 sentinel) emit no
+    segments in any touching 2×2 block — no false rings around holes."""
+    grid = np.tile(np.arange(8, dtype=float), (8, 1))
+    ref = marching_squares(grid, 2.5)
+    assert len(ref) == 1 and len(ref[0]) >= 7
+    hole = grid.copy()
+    hole[3:5, :] = np.nan                      # band of void rows
+    lines = marching_squares(hole, 2.5)
+    pts = np.vstack(lines) if lines else np.empty((0, 2))
+    # no vertex inside the void band's blocks (rows 2..5 suppressed)
+    assert np.all((pts[:, 1] <= 3.0) | (pts[:, 1] >= 5.0))
+    # fully void grid → nothing
+    assert marching_squares(np.full((5, 5), np.nan), 1.0) == []
+
+
+def test_extract_contours_valid_range(spark):
+    """valid_range masks sentinel pixels out of the level series and the
+    kernel (reference |dd|>=10000 void semantics at our uint8 scale)."""
+    from osm2garmin_spark.pipeline.synth import synth_images
+    imgs = synth_images(spark, 12, partitions=2)
+    masked = extract_contours(imgs, step=64.0, valid_range=(0, 200))
+    rows = masked.collect()
+    assert rows                                 # still produces contours
+    # the level series derives from the VALID extent only: no level > 200
+    assert max(r["level"] for r in rows) <= 200.0
+    none_left = extract_contours(imgs, step=64.0, valid_range=(300, 400))
+    assert none_left.count() == 0              # everything void → no rows
+
+
 def test_adaptive_interval_reference_ladder():
     """Srtm2Osm.java:125-138 control flow, exact thresholds
     (settings.properties: 25/50/100 m, plot thresholds 500/2400 m)."""

@@ -119,6 +119,31 @@ def test_poly_feeds_pip_join(spark, tmp_path):
     assert got == {1}
 
 
+def test_regions_txt_source(tmp_path):
+    """Osm2garmin.java:219-275: 5-field lines, # comments skipped,
+    x-excluded lines skipped but still consuming a family id (5001+),
+    sibling <name>.poly overrides the bbox with its envelope."""
+    from osm2garmin_spark.sources.io import read_regions_txt
+    d = tmp_path
+    (d / "regions.txt").write_text(
+        "# comment line\n"
+        "55.0 -50.0 180.0 10.0 australia_nz\n"
+        "x-180.0 41.0 -13.0 85.0 excluded_region\n"
+        "-24.0 46.0 9.0 85.0 western_europe\n")
+    (d / "western_europe.poly").write_text(
+        "western_europe\narea\n  -20.0  47.0\n  5.0  47.0\n  5.0  60.0\nEND\nEND\n")
+    regs = read_regions_txt(str(d / "regions.txt"), poly_dir=str(d))
+    assert [r["name"] for r in regs] == ["australia_nz", "western_europe"]
+    assert regs[0]["family_id"] == 5001
+    assert regs[1]["family_id"] == 5003      # x line consumed 5002
+    assert regs[0]["poly"] is None
+    assert (regs[0]["lon1"], regs[0]["lat1"]) == (55.0, -50.0)
+    # poly envelope override
+    assert regs[1]["poly"] is not None
+    assert (regs[1]["lon1"], regs[1]["lat1"], regs[1]["lon2"], regs[1]["lat2"]) \
+        == (-20.0, 47.0, 5.0, 60.0)
+
+
 def test_srtm_cell_name():
     assert srtm_cell_name(14.2, 50.7) == "N50E014"
     assert srtm_cell_name(-0.5, -0.5) == "S01W001"

@@ -127,3 +127,23 @@ def test_salted_collect_set_matches_plain(spark, corpus):
     salted_sets = {r["group_id"]: list(r["tile_ids"]) for r in
                    salted_collect_set(j, "group_id", "tile_id", "ref").collect()}
     assert plain_sets == salted_sets
+
+
+def test_filter_invalid_members_and_strip_tags(spark):
+    """Explicit invalid-member cleanse (SplitProcessor skip semantics as a
+    standalone step) + created_by ingest strip (map_filter, no UDF)."""
+    from osm2garmin_spark.operators.group_join import (
+        filter_invalid_members, strip_ingest_tags)
+    from pyspark.sql import functions as F
+
+    members = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (3, 777)], "group_id long, ref long")
+    nodes = spark.createDataFrame([(10,), (20,), (30,)], "node_id long")
+    kept = filter_invalid_members(members, nodes).collect()
+    assert sorted((r["group_id"], r["ref"]) for r in kept) == [(1, 10), (2, 20)]
+
+    tagged = spark.createDataFrame(
+        [(1, {"created_by": "ed", "name": "x"}), (2, {"name": "y"})],
+        "id long, tags map<string,string>")
+    out = {r["id"]: dict(r["tags"]) for r in strip_ingest_tags(tagged).collect()}
+    assert out == {1: {"name": "x"}, 2: {"name": "y"}}
