@@ -34,6 +34,27 @@ def token_count_sql(col: str) -> str:
     return f"(length({col}) - length(replace({col}, ' ', '')) + 1)"
 
 
+#: BPE-style pre-tokenizer (GPT-2-family shape, lookahead-free so the SAME
+#: pattern runs on Java regex (Spark) and RE2 (DuckDB oracle)):
+#: contractions | space?+letters | space?+digits | space?+other | whitespace
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """Array of BPE pre-tokens (the merge-free first stage of a BPE
+    tokenizer: the units a byte-pair vocab would subdivide)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_pretokens(text)).cast("long")
+
+
+def bpe_token_count_sql(col: str) -> str:
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return (f"CAST(length(regexp_extract_all({col}, '{pat}')) AS BIGINT)")
+
+
 def punct_count(text: Column) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
 

@@ -626,6 +626,26 @@ FROM documents
 """
 
 
+def doc_token_bpe(spark, sf_dir):
+    """BPE-style pre-tokenization (GPT-2-family pattern, lookahead-free):
+    per-doc pre-token count next to the whitespace count — the token-budget
+    column a training-data pipeline joins on."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+_TOKEN_BPE_SQL = f"""
+SELECT doc_id,
+       {T.token_count_sql('text')} AS n_ws_tokens,
+       {T.bpe_token_count_sql('text')} AS n_bpe_tokens
+FROM documents
+"""
+
+
 def doc_fingerprints(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
@@ -924,6 +944,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_top3": embed_top3,
         "apply_changes_events": apply_changes_events,
         "apply_changes_gated": apply_changes_gated,
+        "doc_token_bpe": doc_token_bpe,
         "tile_names": tile_names,
         "tiling_pipeline_counts": tiling_pipeline_counts,
         "image_decode_stats": image_decode_stats,
@@ -959,6 +980,7 @@ def oracle_sql() -> Dict[str, str]:
         "embed_top3": _EMBED_SQL,
         "apply_changes_events": _APPLY_SQL,
         "apply_changes_gated": _APPLY_GATED_SQL,
+        "doc_token_bpe": _TOKEN_BPE_SQL,
         "tile_names": _TILE_NAMES_SQL,
         # tiling_pipeline_counts / image_decode_stats / minhash_candidates /
         # ann_lsh_top3: non-SQL-expressible (driver quadtree, binary decode,

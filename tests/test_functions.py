@@ -145,6 +145,18 @@ def test_plan_lsh_scales_with_corpus():
         assert n / (2 ** planes) <= 2 * 256
 
 
+def test_bpe_pretokenizer(spark):
+    rows = [(1, "I'll go to 123 places!"), (2, "hello   world"), (3, "a")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (list(r["t"]), r["n"]) for r in df.select(
+        "id", T.bpe_pretokens(F.col("text")).alias("t"),
+        T.bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert got[1][0] == ["I", "'ll", " go", " to", " 123", " places", "!"]
+    assert got[1][1] == 7
+    assert got[2][0] == ["hello", "  ", " world"] or got[2][1] == 3
+    assert got[3][1] == 1
+
+
 def test_exact_dedup(spark, docs):
     kept = sorted(r["doc_id"] for r in
                   D.exact_dedup(docs, ["text"], "doc_id").collect())
