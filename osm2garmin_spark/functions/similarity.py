@@ -240,6 +240,84 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
              .select(q_id, c_id, "rnk", F.col("_sim").alias("sim")))
 
 
+def train_ivf_centroids(corpus: DataFrame, vec_col: str, dim: int,
+                        nlist: int, id_col: str,
+                        sample: int = 4096, iters: int = 5) -> np.ndarray:
+    """Deterministic spherical k-means on an id-ordered sample: init from
+    the first nlist sample rows, ``iters`` assign/update rounds in numpy on
+    the driver (the sample is small by construction; the full corpus never
+    leaves executors). Returns unit-norm (nlist, dim) centroids."""
+    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = _unit_rows(np.vstack([np.asarray(r[0], dtype=np.float64)
+                              for r in rows]))
+    nlist = min(nlist, len(X))
+    C = X[:nlist].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(nlist):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.sum(axis=0)
+        C = _unit_rows(C)
+    return C
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               centroids: np.ndarray, nprobe: int = 1) -> DataFrame:
+    """(id, vec, list_id) — each row exploded to its nprobe nearest
+    centroid lists (nprobe=1 for corpus indexing, >1 for query probing).
+    One matmul per Arrow batch against the broadcast centroid matrix."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {vec_col} {vec_type}, list_id int"
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        p = min(nprobe, len(C))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = _unit_rows(_vstack(pdf[vec_col]))
+            sims = V @ C.T                       # (n, nlist)
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            n = len(pdf)
+            out = pd.DataFrame({
+                id_col: pdf[id_col].to_numpy().repeat(p),
+                vec_col: pdf[vec_col].to_numpy().repeat(p),
+                "list_id": top.reshape(-1).astype(np.int32),
+            })
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
+             nlist: Optional[int] = None, nprobe: int = 4,
+             q_id: str = "q_id", q_vec: str = "q_vec",
+             c_id: str = "c_id", c_vec: str = "c_vec") -> DataFrame:
+    """IVF approximate top-k: corpus vectors index into nlist inverted
+    lists by nearest centroid; each query probes its nprobe nearest lists
+    and refines exactly within them. nlist=None sizes lists at ~sqrt(n)
+    (expected list population ~sqrt(n); probed work per query =
+    nprobe·n/nlist, bounded as the corpus grows by growing nlist).
+    The non-LSH scale path — recall tunes with nprobe, not rebuild."""
+    if nlist is None:
+        nlist = max(4, int(math.isqrt(max(corpus.count(), 4))))
+    C = train_ivf_centroids(corpus, c_vec, dim, nlist, c_id)
+    cb = ivf_assign(corpus, c_id, c_vec, C, nprobe=1)
+    qb = ivf_assign(queries, q_id, q_vec, C, nprobe=nprobe)
+    j = (cb.join(F.broadcast(qb), "list_id")
+         .filter(F.col(q_id) != F.col(c_id)))
+    sim = cosine_pairs(F.col(q_vec), F.col(c_vec))
+    w = Window.partitionBy(q_id).orderBy(F.col("_sim").desc(), F.col(c_id).asc())
+    return (j.withColumn("_sim", sim)
+             .withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= k)
+             .select(q_id, c_id, "rnk", F.col("_sim").alias("sim")))
+
+
 def embedding_near_pairs(df: DataFrame, threshold: float,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          dim: int = 64, num_planes: Optional[int] = None,

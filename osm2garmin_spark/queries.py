@@ -913,6 +913,19 @@ def ann_lsh_top3(spark, sf_dir):
     return out.select("q_id", "c_id", "rnk")
 
 
+def ann_ivf_top3(spark, sf_dir):
+    """IVF approximate top-3 (inverted-file ANN: nearest-centroid lists,
+    nprobe-list probe, exact within-list refine) — the non-LSH scale path;
+    compare with embed_top3 for recall."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    corpus = emb.select(F.col("vec_id").alias("c_id"),
+                        F.col("embedding").alias("c_vec"))
+    out = S.ivf_topk(queries, corpus, k=3, dim=64, nprobe=4)
+    return out.select("q_id", "c_id", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -950,6 +963,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": image_decode_stats,
         "minhash_candidates": minhash_candidates,
         "ann_lsh_top3": ann_lsh_top3,
+        "ann_ivf_top3": ann_ivf_top3,
     }
 
 

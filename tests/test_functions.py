@@ -131,6 +131,32 @@ def test_ann_multitable_recall_planted_near_dups(spark):
     assert max_bucket < 6 * 256  # random-projection buckets are uneven but bounded
 
 
+def test_ivf_recall_planted_near_dups(spark):
+    """IVF ANN: planted near-duplicates must surface as top-1 with recall
+    >= 0.9 at nprobe=4, and inverted-list populations stay ~n/nlist."""
+    rng = np.random.default_rng(21)
+    n, dim, nq = 1500, 32, 50
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    for i in range(nq):
+        base[700 + i] = base[i] + 0.02 * rng.normal(size=dim).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = df.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    top1 = {r["q_id"]: r["c_id"] for r in
+            S.ivf_topk(q, c, 1, dim=dim, nprobe=4).collect()}
+    hits = sum(1 for i in range(nq) if top1.get(i) == 700 + i)
+    assert hits / nq >= 0.9
+
+    # list populations bounded around n/nlist
+    C = S.train_ivf_centroids(c, "c_vec", dim, nlist=38, id_col="c_id")
+    lists = S.ivf_assign(c, "c_id", "c_vec", C, nprobe=1)
+    counts = [r["count"] for r in lists.groupBy("list_id").count().collect()]
+    assert max(counts) < 12 * (n / 38)
+
+
 def test_plan_lsh_scales_with_corpus():
     """Planes (and so bucket count) must grow with the corpus so the
     within-bucket quadratic join never sees unbounded populations."""
