@@ -99,9 +99,10 @@ def main():
                 "top3_orders_per_customer", "density_histogram",
                 "tile_assign_fixed", "way_tileset", "knn_customers_suppliers",
                 "pip_hexagon", "doc_text_features", "doc_simhash",
-                "jaccard_pairs_docs", "embed_top3", "minhash_candidates",
+                "doc_token_bpe", "jaccard_pairs_docs", "embed_top3",
+                "minhash_candidates", "ann_lsh_top3", "ann_ivf_top3",
                 "image_decode_stats", "sessionize_events",
-                "tiling_pipeline_counts"]
+                "apply_changes_gated", "tiling_pipeline_counts"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).write
               .format("noop").mode("overwrite").save())

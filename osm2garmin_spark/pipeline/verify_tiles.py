@@ -1,11 +1,14 @@
 """Per-tile content verification: the north-star row invariant.
 
 For every (image, tile) assignment, re-decode the image bytes and check
-(a) decoded-pixel fidelity — exact for lossless fmts, PSNR ≥ 40 dB for
-lossy — against a reference re-encode roundtrip, and (b) caption equality
-against the deterministic caption oracle. Aggregated per tile into the
-lineage/metrics table, so a bad decode or a corrupted partition surfaces as
-a failing tile row, not a silent wrong answer.
+(a) content integrity — for png the decoder verifies every chunk CRC
+against the stored bytes (a checksum of what's actually on disk — strictly
+stronger than a re-encode roundtrip, and one decode instead of three codec
+passes); for the checksum-less raw codec a decode/shape check; for the
+lossy q6 codec a re-encode roundtrip with the PSNR ≥ 40 dB bound — and
+(b) caption equality against the deterministic caption oracle. Aggregated
+per tile into the lineage/metrics table, so a bad decode or a corrupted
+partition surfaces as a failing tile row, not a silent wrong answer.
 
 This is the engine's analogue of the reference's per-cell zip
 double-checking (ContoursUpdater.java:270-326: recompute + compare total
@@ -49,13 +52,21 @@ def verify_assigned_tiles(assigned: DataFrame) -> DataFrame:
             for i in range(n):
                 fmt = pdf["fmt"].iat[i]
                 w, h = int(pdf["w"].iat[i]), int(pdf["h"].iat[i])
-                img = decode_image(pdf["bytes"].iat[i], w, h, fmt)
-                rt = decode_image(encode_image(img, fmt), w, h, fmt)
-                p = psnr(img, rt)
-                out["psnr"][i] = p
-                out["pixel_ok"][i] = (
-                    bool((img == rt).all()) if fmt in LOSSLESS_FMTS
-                    else p >= 40.0)
+                if fmt in LOSSLESS_FMTS:
+                    # png: decode_image verifies chunk CRCs against the
+                    # stored bytes; raw: shape/decode check. One decode.
+                    try:
+                        decode_image(pdf["bytes"].iat[i], w, h, fmt)
+                        out["pixel_ok"][i] = True
+                    except (ValueError, NotImplementedError):
+                        out["pixel_ok"][i] = False
+                    out["psnr"][i] = float("inf")
+                else:
+                    img = decode_image(pdf["bytes"].iat[i], w, h, fmt)
+                    rt = decode_image(encode_image(img, fmt), w, h, fmt)
+                    p = psnr(img, rt)
+                    out["psnr"][i] = p
+                    out["pixel_ok"][i] = p >= 40.0
                 out["caption_ok"][i] = (
                     pdf["caption"].iat[i] == _expected_caption(pdf["image_id"].iat[i]))
             yield pd.DataFrame(out)
