@@ -39,13 +39,68 @@ def knn_broadcast(queries: DataFrame, neighbors: DataFrame, k: int,
                   q_id: str = "q_id", q_lat: str = "q_lat", q_lon: str = "q_lon",
                   n_id: str = "n_id", n_lat: str = "n_lat", n_lon: str = "n_lon",
                   ) -> DataFrame:
-    """Exact kNN with a broadcast neighbor table → (q_id, n_id, rnk)."""
+    """Exact kNN with a broadcast neighbor table → (q_id, n_id, rnk).
+    Catalyst shape (NLJ + window) — the independent cross-check twin of
+    the numpy kernel below; tests compare the two."""
     j = queries.join(F.broadcast(neighbors))
     d2 = _dist2(F.col(q_lat), F.col(q_lon), F.col(n_lat), F.col(n_lon))
     w = Window.partitionBy(q_id).orderBy(d2.asc(), F.col(n_id).asc())
     return (j.withColumn("rnk", F.row_number().over(w))
              .filter(F.col("rnk") <= k)
              .select(q_id, n_id, "rnk"))
+
+
+def knn_bruteforce_np(queries: DataFrame, neighbors: DataFrame, k: int,
+                      q_id: str = "q_id", q_lat: str = "q_lat",
+                      q_lon: str = "q_lon", n_id: str = "n_id",
+                      n_lat: str = "n_lat", n_lon: str = "n_lon") -> DataFrame:
+    """Exact kNN, numpy kernel: the neighbor table (small by contract)
+    broadcasts as an id-sorted coordinate matrix; each query Arrow batch
+    computes its full distance matrix and a STABLE argsort whose tie order
+    is column order = ascending n_id — the same (d², n_id) discipline as
+    the window path, at vector speed with no shuffle and no per-pair row
+    materialization. This is knn_grid's escalation engine: with clustered
+    neighbor sets most rings are legitimately empty and escalation carries
+    the bulk of the queries (round 1 paid a 13M-row NLJ + window here)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    rows = neighbors.select(n_id, n_lat, n_lon).collect()
+    q_id_t = queries.schema[q_id].dataType.simpleString()
+    n_id_t = neighbors.schema[n_id].dataType.simpleString()
+    schema = f"{q_id} {q_id_t}, {n_id} {n_id_t}, rnk int"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    ids = np.array([r[0] for r in rows])
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    lats = np.array([r[1] for r in rows], dtype=np.float64)[order]
+    lons = np.array([r[2] for r in rows], dtype=np.float64)[order]
+    bc = spark.sparkContext.broadcast((ids, lats, lons))
+
+    def kernel(it):
+        nid_s, nlat_s, nlon_s = bc.value
+        nn = len(nid_s)
+        kk = min(k, nn)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            qla = pdf[q_lat].to_numpy(np.float64)[:, None]
+            qlo = pdf[q_lon].to_numpy(np.float64)[:, None]
+            dx = qla - nlat_s[None, :]
+            dy = qlo - nlon_s[None, :]
+            d2 = dx * dx + dy * dy                    # (m, nn)
+            # stable sort: equal d² resolve in column order = n_id asc
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            m = len(pdf)
+            yield pd.DataFrame({
+                q_id: pdf[q_id].to_numpy().repeat(kk),
+                n_id: nid_s[idx].reshape(-1),
+                "rnk": np.tile(np.arange(1, kk + 1), m),
+            })
+
+    return queries.select(q_id, q_lat, q_lon).mapInPandas(kernel, schema)
 
 
 def tune_cell_deg(neighbors: DataFrame, k: int,
@@ -91,11 +146,14 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
     if cell_deg is None:
         cell_deg = tune_cell_deg(neighbors, k, n_lat, n_lon)
     cell = F.lit(float(cell_deg))
+    # qc feeds the candidate join, the zero-candidate anti-join and the
+    # escalation input; persist so the caller's (possibly expensive)
+    # coordinate expressions evaluate exactly once
     qc = queries.select(
         q_id, q_lat, q_lon,
         F.floor(F.col(q_lat) / cell).alias("_cx"),
         F.floor(F.col(q_lon) / cell).alias("_cy"),
-    )
+    ).persist()
     # neighbor → 9 cells (its own + ring-1)
     offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
@@ -135,10 +193,11 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
     # exact-boundary tie must escalate to the broadcast path.
     complete = per_q.filter((F.col("_n") >= k) & (F.col("_kth") < F.col("_margin") * F.col("_margin")))
     incomplete_ids = per_q.join(complete.select(q_id), q_id, "left_anti").select(q_id) \
-        .unionByName(queries.select(q_id).join(per_q.select(q_id), q_id, "left_anti"))
+        .unionByName(qc.select(q_id).join(per_q.select(q_id), q_id, "left_anti"))
 
     good = topk.join(F.broadcast(complete.select(q_id)), q_id, "left_semi") \
                .select(q_id, n_id, "rnk")
-    escal_q = queries.join(F.broadcast(incomplete_ids.distinct()), q_id, "left_semi")
-    escal = knn_broadcast(escal_q, neighbors, k, q_id, q_lat, q_lon, n_id, n_lat, n_lon)
+    escal_q = qc.join(F.broadcast(incomplete_ids.distinct()), q_id, "left_semi")
+    escal = knn_bruteforce_np(escal_q, neighbors, k, q_id, q_lat, q_lon,
+                              n_id, n_lat, n_lon)
     return good.unionByName(escal)

@@ -527,11 +527,14 @@ SELECT DISTINCT rel_id, tile_id FROM (
 def knn_customers_suppliers(spark, sf_dir):
     """grid-accelerated exact 3-NN: customer points → supplier points
     (generalizes DefaultCityFinder.java:39-105 sort-refine)."""
-    cust = _read(spark, sf_dir, "customer").select(
+    # derived coords are heavy scalar chains over single-file inputs —
+    # repartition the raw reads so the derivation runs across cores
+    par = spark.sparkContext.defaultParallelism
+    cust = _read(spark, sf_dir, "customer").repartition(par).select(
         F.col("c_custkey").alias("q_id"),
         derived_lat(F.col("c_custkey") + 900000).alias("q_lat"),
         derived_lon(F.col("c_custkey") + 900000).alias("q_lon"))
-    supp = _read(spark, sf_dir, "supplier").select(
+    supp = _read(spark, sf_dir, "supplier").repartition(par).select(
         F.col("s_suppkey").alias("n_id"),
         derived_lat(F.col("s_suppkey") + 300000).alias("n_lat"),
         derived_lon(F.col("s_suppkey") + 300000).alias("n_lon"))
@@ -591,7 +594,8 @@ SELECT event_id FROM pts WHERE {_hex_halfplanes_sql()}
 # ---------------------------------------------------------------------------
 
 def doc_text_features(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     return docs.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
@@ -647,7 +651,8 @@ FROM documents
 
 
 def doc_fingerprints(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -657,7 +662,10 @@ SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents
 
 
 def doc_simhash(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    # documents is one small file (one scan task) but simhash is a
+    # compute-bound per-word fold — spread rows across cores first
+    docs = _read(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     return docs.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
 
 
