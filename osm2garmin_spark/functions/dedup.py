@@ -60,16 +60,23 @@ def simhash16(text: Column) -> Column:
     words = F.split(text, " ")
     mixed = F.transform(words, lambda wd: (word_hash(wd) % F.lit(1 << 31)) * F.lit(2654435761) % F.lit(1 << 32))
 
-    def _sign_sum(bit: int):
-        # factory so the merge lambda keeps exactly 2 params (PySpark infers
-        # higher-order-function arity from the Python signature)
-        return lambda acc, m: acc + F.when(
-            F.shiftright(m, bit) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+    # ONE fold with a 16-slot array accumulator: each word hashes once and
+    # contributes ±1 to every bit lane via zip_with (the round-1 shape ran
+    # 16 separate aggregates, re-evaluating word_hash per word per bit)
+    def _merge(acc, m):
+        lanes = F.array(*[
+            F.when(F.shiftright(m, bit) % 2 == 1, F.lit(1).cast("long"))
+             .otherwise(F.lit(-1).cast("long"))
+            for bit in range(16)])
+        return F.zip_with(acc, lanes, lambda a, b: a + b)
 
+    ones = F.aggregate(mixed,
+                       F.array_repeat(F.lit(0).cast("long"), 16),
+                       _merge)
     fp = F.lit(0).cast("long")
     for bit in range(16):
-        ones = F.aggregate(mixed, F.lit(0).cast("long"), _sign_sum(bit))
-        fp = fp + F.when(ones > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        fp = fp + F.when(F.element_at(ones, bit + 1) > 0,
+                         F.lit(1 << bit)).otherwise(F.lit(0))
     return fp
 
 
