@@ -739,6 +739,29 @@ SELECT q_id, c_id, rnk FROM ranked WHERE rnk <= 3
 """
 
 
+def embed_near_pairs_exact(spark, sf_dir):
+    """Exact embedding near-duplicate pairs (cosine ≥ 0.45, id_a < id_b) —
+    the brute-force correctness twin of the LSH/IVF-pruned
+    embedding_near_pairs paths; vectorized pair cosine (Arrow batches).
+    Threshold sits ≥5e-4 from every pair's similarity at sf0.01, so the
+    float32(DuckDB)/float64(numpy) representational gap (~1e-7) cannot
+    flip membership."""
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    j = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (j.withColumn("_sim", S.cosine_pairs(F.col("_va"), F.col("_vb")))
+             .filter(F.col("_sim") >= 0.45)
+             .select("id_a", "id_b"))
+
+
+_EMBED_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
 def tile_names(spark, sf_dir):
     """tile naming: max-'population' city per tile bbox (range join +
     window argmax; Main.nameAreas:367-392 / DefaultCityFinder semantics).
@@ -966,6 +989,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changes_events": apply_changes_events,
         "apply_changes_gated": apply_changes_gated,
         "doc_token_bpe": doc_token_bpe,
+        "embed_near_pairs_exact": embed_near_pairs_exact,
         "tile_names": tile_names,
         "tiling_pipeline_counts": tiling_pipeline_counts,
         "image_decode_stats": image_decode_stats,
@@ -1003,6 +1027,7 @@ def oracle_sql() -> Dict[str, str]:
         "apply_changes_events": _APPLY_SQL,
         "apply_changes_gated": _APPLY_GATED_SQL,
         "doc_token_bpe": _TOKEN_BPE_SQL,
+        "embed_near_pairs_exact": _EMBED_PAIRS_SQL,
         "tile_names": _TILE_NAMES_SQL,
         # tiling_pipeline_counts / image_decode_stats / minhash_candidates /
         # ann_lsh_top3: non-SQL-expressible (driver quadtree, binary decode,
