@@ -32,7 +32,7 @@ import os
 import time
 from typing import List, Optional, Sequence, Set
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..geo.area import Area
 from ..split.density import collect_density
@@ -102,17 +102,34 @@ def tile_digests(assigned: DataFrame, id_col: str) -> DataFrame:
 
 
 def read_committed_assigned(spark: SparkSession, out_dir: str,
-                            stage: str = "assign") -> DataFrame:
+                            stage: str = "assign",
+                            as_of: Optional[float] = None) -> DataFrame:
     """Read back ONLY data files vouched for by a committed lineage row.
 
     Orphan files from an attempt that crashed between its data write and
     its lineage commit sit under an attempt= partition no lineage row
     references; the isin filter prunes those directories at scan time and
     the broadcast semi-join enforces the exact (tile_id, attempt) contract.
+
+    Two Iceberg-snapshot-style guarantees ride the same selection:
+    - concurrent-writer safety: if two writers race past the completed()
+      check and BOTH commit the same tile, the reader deterministically
+      keeps one attempt per tile (earliest commit ts, attempt string as
+      the tie-break) — a double commit degrades to dead files, never to
+      duplicate rows;
+    - time travel: ``as_of`` (unix seconds) reads the table as of that
+      instant — only lineage rows committed at or before it participate.
     """
     store = LineageStore(out_dir)
     lin = store.read(spark).filter(F.col("stage") == stage)
-    pairs = lin.select("tile_id", "attempt").distinct()
+    if as_of is not None:
+        lin = lin.filter(F.col("ts") <= float(as_of))
+    w = Window.partitionBy("tile_id").orderBy(F.col("ts").asc(),
+                                              F.col("attempt").asc())
+    pairs = (lin.select("tile_id", "attempt", "ts")
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .select("tile_id", "attempt"))
     attempts = [r["attempt"] for r in pairs.select("attempt").distinct().collect()]
     df = spark.read.parquet(os.path.join(out_dir, "assigned"))
     return (df.filter(F.col("attempt").isin(attempts))

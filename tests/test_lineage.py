@@ -72,6 +72,51 @@ def test_rerun_is_noop(spark, points, tmp_path):
     assert r["processed"] == 0
 
 
+def test_double_commit_reader_keeps_one_attempt(spark, points, tmp_path):
+    """Concurrent-writer race: if two writers commit the SAME tile under
+    different attempts, the reader keeps exactly one attempt per tile
+    (earliest ts) — double commit degrades to dead files, not dup rows."""
+    import time
+    from osm2garmin_spark.pipeline.lineage import tile_digests
+    from osm2garmin_spark.operators.tile_join import assign_points_to_tiles
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "race")
+    run_tiling_resumable(points, d, max_nodes=300, run_id="w1")
+    base = _read_assigned(spark, d).count()
+
+    # simulate the second racing writer: re-write + re-commit every tile
+    # under a new attempt (exactly what a racer that missed completed()
+    # would do)
+    store = LineageStore(d)
+    tiles = store.load_tiles()
+    assigned = assign_points_to_tiles(points, tiles, 2000, "lat", "lon")
+    (assigned.withColumn("attempt", F.lit("w2-racer"))
+     .write.mode("append").partitionBy("attempt", "tile_id")
+     .parquet(os.path.join(d, "assigned")))
+    store.commit(spark, "assign", "w2", tile_digests(assigned, "event_id"),
+                 attempt="w2-racer")
+
+    assert _read_assigned(spark, d).count() == base  # no duplicates
+
+
+def test_time_travel_read(spark, points, tmp_path):
+    """as_of reads the table as of a past commit instant."""
+    import time
+    d = str(tmp_path / "tt")
+    r1 = run_tiling_resumable(points, d, max_nodes=300, run_id="t1",
+                              fail_after_tiles=2)
+    assert r1["processed"] == 2
+    cut = time.time()
+    n_at_cut = read_committed_assigned(spark, d).count()
+    assert n_at_cut > 0
+    time.sleep(0.05)
+    run_tiling_resumable(points, d, max_nodes=300, run_id="t2")
+    full = read_committed_assigned(spark, d).count()
+    assert full > n_at_cut
+    assert read_committed_assigned(spark, d, as_of=cut).count() == n_at_cut
+
+
 def test_crash_between_write_and_commit_no_duplicates(spark, points, tmp_path):
     """A run that dies after the data write but before the lineage commit
     must leave no visible rows: the resume re-processes everything and the
