@@ -141,10 +141,28 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
     width beyond the query's own cell edge) escalate to knn_broadcast.
 
     cell_deg=None (default) auto-tunes the cell from neighbor density so a
-    ring holds O(k) candidates — see tune_cell_deg.
+    ring holds O(k) candidates — see tune_cell_deg — and, like Spark's own
+    broadcast-join threshold, dispatches straight to the broadcast numpy
+    kernel when the neighbor table is small enough to collect
+    (small_neighbors rows): for a small dim table the grid machinery only
+    adds jobs. Passing an explicit cell_deg forces the grid path.
     """
     if cell_deg is None:
-        cell_deg = tune_cell_deg(neighbors, k, n_lat, n_lon)
+        small_neighbors = 200_000
+        stats = neighbors.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(n_lat).alias("lat0"), F.max(n_lat).alias("lat1"),
+            F.min(n_lon).alias("lon0"), F.max(n_lon).alias("lon1")).first()
+        if not stats["n"]:
+            return knn_bruteforce_np(queries, neighbors, k, q_id, q_lat,
+                                     q_lon, n_id, n_lat, n_lon)
+        if stats["n"] <= small_neighbors:
+            return knn_bruteforce_np(queries, neighbors, k, q_id, q_lat,
+                                     q_lon, n_id, n_lat, n_lon)
+        area = max((stats["lat1"] - stats["lat0"])
+                   * (stats["lon1"] - stats["lon0"]), 1e-12)
+        target = max(8.0 * k, 64.0)
+        cell_deg = max(math.sqrt(target / (9.0 * (stats["n"] / area))), 1e-6)
     cell = F.lit(float(cell_deg))
     # qc feeds the candidate join, the zero-candidate anti-join and the
     # escalation input; persist so the caller's (possibly expensive)
