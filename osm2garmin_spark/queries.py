@@ -944,6 +944,33 @@ def ann_lsh_top3(spark, sf_dir):
     return out.select("q_id", "c_id", "rnk")
 
 
+def video_frame_stats(spark, sf_dir):
+    """multimodal video path: deterministic fake-container corpus sized by
+    the documents table → frame sampling fan-out (every 4th frame) → the
+    image decode/stat kernel over the sampled frames. Binary payloads stay
+    on executors end-to-end."""
+    from .operators.av import synth_videos, sample_frames
+    from .operators.raster import decode_stats
+
+    n = _read(spark, sf_dir, "documents").count()
+    vids = synth_videos(spark, min(int(n), 500), n_frames=12)
+    frames = sample_frames(vids, every=4)
+    imgs = frames.select(
+        F.concat_ws("_", "video_id", "frame_idx").alias("image_id"),
+        F.col("frame").alias("bytes"), "w", "h", F.lit("raw").alias("fmt"))
+    return decode_stats(imgs).select("image_id", "p_min", "p_max")
+
+
+def audio_window_features(spark, sf_dir):
+    """multimodal audio path: deterministic PCM corpus → per-window RMS /
+    zero-crossing / peak (vectorized numpy over Arrow batches)."""
+    from .operators.av import synth_audio, audio_features
+
+    n = _read(spark, sf_dir, "documents").count()
+    auds = synth_audio(spark, min(int(n), 500))
+    return audio_features(auds).select("audio_id", "win_idx", "peak")
+
+
 def ann_ivf_top3(spark, sf_dir):
     """IVF approximate top-3 (inverted-file ANN: nearest-centroid lists,
     nprobe-list probe, exact within-list refine) — the non-LSH scale path;
@@ -996,6 +1023,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": minhash_candidates,
         "ann_lsh_top3": ann_lsh_top3,
         "ann_ivf_top3": ann_ivf_top3,
+        "video_frame_stats": video_frame_stats,
+        "audio_window_features": audio_window_features,
     }
 
 
