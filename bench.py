@@ -101,7 +101,8 @@ def main():
                 "pip_hexagon", "doc_text_features", "doc_simhash",
                 "doc_token_bpe", "jaccard_pairs_docs", "embed_top3",
                 "minhash_candidates", "ann_lsh_top3", "ann_ivf_top3",
-                "image_decode_stats", "sessionize_events",
+                "image_decode_stats", "video_frame_stats",
+                "audio_window_features", "sessionize_events",
                 "apply_changes_gated", "tiling_pipeline_counts"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).write
