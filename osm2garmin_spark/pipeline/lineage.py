@@ -137,6 +137,21 @@ def read_committed_assigned(spark: SparkSession, out_dir: str,
             .drop("attempt"))
 
 
+def snapshots(spark: SparkSession, out_dir: str,
+              stage: str = "assign") -> DataFrame:
+    """Iceberg-metadata-style snapshot listing: one row per committed
+    attempt with its commit instant, run id, tile count and total rows —
+    the inputs a time-travel reader (read_committed_assigned(as_of=...))
+    picks from."""
+    store = LineageStore(out_dir)
+    return (store.read(spark).filter(F.col("stage") == stage)
+            .groupBy("attempt", "run_id")
+            .agg(F.min("ts").alias("committed_ts"),
+                 F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_rows").alias("n_rows"))
+            .orderBy("committed_ts"))
+
+
 def run_tiling_resumable(points: DataFrame, out_dir: str,
                          max_nodes: int = 1_600_000, overlap: int = 2000,
                          resolution: int = 13, id_col: str = "event_id",

@@ -117,6 +117,20 @@ def test_time_travel_read(spark, points, tmp_path):
     assert read_committed_assigned(spark, d, as_of=cut).count() == n_at_cut
 
 
+def test_snapshot_listing(spark, points, tmp_path):
+    from osm2garmin_spark.pipeline.lineage import snapshots
+    d = str(tmp_path / "snap")
+    run_tiling_resumable(points, d, max_nodes=300, run_id="s1",
+                         fail_after_tiles=2)
+    run_tiling_resumable(points, d, max_nodes=300, run_id="s2")
+    snaps = snapshots(spark, d).collect()
+    assert [s["run_id"] for s in snaps] == ["s1", "s2"]
+    assert snaps[0]["n_tiles"] == 2
+    assert snaps[0]["committed_ts"] <= snaps[1]["committed_ts"]
+    assert sum(s["n_rows"] for s in snaps) == \
+        read_committed_assigned(spark, d).count()
+
+
 def test_crash_between_write_and_commit_no_duplicates(spark, points, tmp_path):
     """A run that dies after the data write but before the lineage commit
     must leave no visible rows: the resume re-processes everything and the
