@@ -29,7 +29,7 @@ from typing import Iterator, List, Tuple
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .raster import decode_image
 
@@ -237,40 +237,61 @@ def stitch_contours(frags: DataFrame, max_iter: int = 16) -> DataFrame:
     """Merge open fragments whose endpoints coincide (within the same
     image_id + level), iterated to a fixpoint.
 
-    Each round joins fragments A.end == B.start and concatenates. Pair
-    selection is a deterministic maximal matching on the fragment graph
-    (edges = candidate merges): every edge gets a deterministic xxhash64
-    priority and survives only if it is the strict minimum among ALL edges
-    incident to either of its fragments — so each fragment participates in
-    at most one merge per round (as either side; round 1's weaker rule let
-    [0,1]+[1,2]+[2,3] emit overlapping [0,1,2] and [1,2,3]), cycles of
-    fragments cannot deadlock (the globally minimum edge is always kept,
-    guaranteeing progress), and pseudo-random priorities merge an expected
-    constant fraction of each chain per round → O(log L) expected rounds.
+    Matching is UNDIRECTED (the reference's Contour join reverses polyline
+    direction as needed — two fragments can meet end-to-end or start-to-
+    start when they come from differently-oriented marching passes, e.g.
+    across mosaic seams): each open fragment exposes both endpoints; an
+    edge exists wherever any two endpoints share a quantized key, and the
+    merge reverses either side so the shared point sits in the middle.
+
+    Pair selection is a deterministic maximal matching on the fragment
+    graph: every edge gets a deterministic xxhash64 priority and survives
+    only if it is the strict minimum among ALL edges incident to either of
+    its fragments — so each fragment participates in at most one merge per
+    round (round 1's weaker rule let [0,1]+[1,2]+[2,3] emit overlapping
+    fragments), cycles cannot deadlock (the globally minimum edge always
+    survives, guaranteeing progress), and pseudo-random priorities merge
+    an expected constant fraction of each chain per round → O(log L)
+    expected rounds.
     """
     cur = frags
     for _ in range(max_iter):
         open_f = cur.filter(~F.col("closed"))
         closed_f = cur.filter(F.col("closed"))
-        o = open_f.withColumn("_skey", _qkey(F.element_at("xs", 1), F.element_at("ys", 1))) \
-                  .withColumn("_ekey", _qkey(F.element_at("xs", -1), F.element_at("ys", -1)))
-        # pair: A.end == B.start, A.frag_id < B.frag_id chosen deterministically
-        a = o.select(F.col("image_id"), F.col("level"),
-                     F.col("frag_id").alias("a_id"), F.col("xs").alias("a_xs"),
-                     F.col("ys").alias("a_ys"), F.col("_ekey"))
-        b = o.select(F.col("image_id").alias("b_img"), F.col("level").alias("b_lvl"),
-                     F.col("frag_id").alias("b_id"), F.col("xs").alias("b_xs"),
-                     F.col("ys").alias("b_ys"), F.col("_skey"))
+        # both endpoints of every open fragment: at_end=true → the key is
+        # the fragment's LAST vertex
+        ep = open_f.select(
+            "image_id", "level", "frag_id", "xs", "ys",
+            F.explode(F.array(
+                F.struct(F.lit(False).alias("at_end"),
+                         _qkey(F.element_at("xs", 1),
+                               F.element_at("ys", 1)).alias("key")),
+                F.struct(F.lit(True).alias("at_end"),
+                         _qkey(F.element_at("xs", -1),
+                               F.element_at("ys", -1)).alias("key")),
+            )).alias("_ep")) \
+            .select("image_id", "level", "frag_id", "xs", "ys",
+                    F.col("_ep.at_end").alias("at_end"),
+                    F.col("_ep.key").alias("key"))
+        a = ep.select("image_id", "level", "key",
+                      F.col("frag_id").alias("a_id"), F.col("xs").alias("a_xs"),
+                      F.col("ys").alias("a_ys"), F.col("at_end").alias("a_end"))
+        b = ep.select(F.col("image_id").alias("b_img"),
+                      F.col("level").alias("b_lvl"), F.col("key").alias("b_key"),
+                      F.col("frag_id").alias("b_id"), F.col("xs").alias("b_xs"),
+                      F.col("ys").alias("b_ys"), F.col("at_end").alias("b_end"))
+        # undirected: a_id < b_id dedupes the mirrored edge
         j = a.join(b, (a["image_id"] == b["b_img"]) & (a["level"] == b["b_lvl"])
-                   & (a["_ekey"] == b["_skey"]) & (a["a_id"] != b["b_id"]))
+                   & (a["key"] == b["b_key"]) & (a["a_id"] < b["b_id"]))
         # greedy-maximal-matching selection: an edge survives iff its
-        # (hash, a_id, b_id) priority is the minimum among every edge
-        # touching its a-fragment OR its b-fragment (either role). Unique
-        # priorities make the filter a valid matching; the global minimum
-        # edge always survives, so progress is guaranteed even on cycles.
+        # priority is the minimum among every edge touching its a-fragment
+        # OR its b-fragment. Unique priorities make the filter a valid
+        # matching; the global minimum edge always survives (progress).
         j = j.withColumn("_pr", F.struct(
-            F.xxhash64("image_id", "level", "a_id", "b_id").alias("h"),
-            F.col("a_id").alias("pa"), F.col("b_id").alias("pb")))
+            F.xxhash64("image_id", "level", "a_id", "b_id",
+                       "a_end", "b_end").alias("h"),
+            F.col("a_id").alias("pa"), F.col("b_id").alias("pb"),
+            F.col("a_end").alias("pe"), F.col("b_end").alias("pf")))
         inc = (j.select("image_id", "level", F.col("a_id").alias("fid"), "_pr")
                .unionByName(
                    j.select("image_id", "level", F.col("b_id").alias("fid"), "_pr")))
@@ -286,10 +307,15 @@ def stitch_contours(frags: DataFrame, max_iter: int = 16) -> DataFrame:
         n_pairs = j.limit(1).count()
         if n_pairs == 0:
             break
+        # orient: a's matched endpoint must be LAST, b's must be FIRST
+        a_xs = F.when(F.col("a_end"), F.col("a_xs")).otherwise(F.reverse("a_xs"))
+        a_ys = F.when(F.col("a_end"), F.col("a_ys")).otherwise(F.reverse("a_ys"))
+        b_xs = F.when(F.col("b_end"), F.reverse("b_xs")).otherwise(F.col("b_xs"))
+        b_ys = F.when(F.col("b_end"), F.reverse("b_ys")).otherwise(F.col("b_ys"))
         merged = j.select(
             "image_id", "level", F.col("a_id").alias("frag_id"),
-            F.concat(F.col("a_xs"), F.slice(F.col("b_xs"), 2, 1 << 30)).alias("xs"),
-            F.concat(F.col("a_ys"), F.slice(F.col("b_ys"), 2, 1 << 30)).alias("ys"),
+            F.concat(a_xs, F.slice(b_xs, 2, 1 << 30)).alias("xs"),
+            F.concat(a_ys, F.slice(b_ys, 2, 1 << 30)).alias("ys"),
         ).withColumn("closed",
                      (_qkey(F.element_at("xs", 1), F.element_at("ys", 1))
                       == _qkey(F.element_at("xs", -1), F.element_at("ys", -1)))
@@ -301,6 +327,31 @@ def stitch_contours(frags: DataFrame, max_iter: int = 16) -> DataFrame:
                       .unionByName(merged.select(*closed_f.columns))
         cur = cur.localCheckpoint() if cur.sparkSession.sparkContext else cur
     return cur
+
+
+def stitch_mosaic(frags: DataFrame, offsets: DataFrame,
+                  max_iter: int = 16) -> DataFrame:
+    """Cross-image contour stitching for a mosaic of adjacent rasters —
+    the reference processes one SRTM tile as a 10×10 grid of subtiles
+    whose 121-sample windows SHARE their boundary column/row, then joins
+    the per-subtile contours into tile-wide polylines
+    (Srtm2Osm.java:108-151 + addContours). Here: ``offsets``
+    (image_id, off_x, off_y) places each image in mosaic pixel space;
+    fragments translate into global coordinates, re-key under one mosaic
+    id with deterministic fragment numbers, and the standard endpoint
+    stitch runs across former image boundaries. Adjacent images must
+    share their boundary pixel column/row (the reference's overlap
+    discipline) so seam endpoints coincide exactly."""
+    j = frags.join(F.broadcast(offsets), "image_id")
+    w = Window.orderBy("image_id", "level", "frag_id")
+    translated = (j.select(
+        F.lit("mosaic").alias("image_id"),
+        "level",
+        F.row_number().over(w).alias("frag_id"),
+        F.transform("xs", lambda v: v + F.col("off_x")).alias("xs"),
+        F.transform("ys", lambda v: v + F.col("off_y")).alias("ys"),
+        "closed"))
+    return stitch_contours(translated, max_iter=max_iter)
 
 
 def allocate_contour_ids(contours: DataFrame,

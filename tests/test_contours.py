@@ -203,6 +203,42 @@ def test_prune_by_density_distributed_matches_local(spark):
         assert zs == [100.0, 175.0]    # major survives + untouched contour
 
 
+def test_mosaic_stitch_joins_across_images(spark):
+    """Two adjacent half-grids sharing their boundary column (the
+    reference's subtile overlap discipline) must stitch into the same
+    polylines as marching squares over the whole grid."""
+    import pandas as pd
+    from osm2garmin_spark.operators.contours import stitch_mosaic
+
+    rng = np.random.default_rng(17)
+    whole = rng.uniform(0, 100, (10, 16))
+    left, right = whole[:, :9], whole[:, 8:]   # share column 8
+    level = 50.0
+
+    def frag_rows(img_id, grid):
+        return [(img_id, level, i, line[:, 0].tolist(), line[:, 1].tolist(),
+                 bool(np.all(line[0] == line[-1]) and len(line) > 2))
+                for i, line in enumerate(marching_squares(grid, level))]
+
+    frags = spark.createDataFrame(
+        frag_rows("L", left) + frag_rows("R", right),
+        "image_id string, level double, frag_id int, xs array<double>, "
+        "ys array<double>, closed boolean")
+    offsets = spark.createDataFrame(
+        [("L", 0.0, 0.0), ("R", 8.0, 0.0)],
+        "image_id string, off_x double, off_y double")
+    stitched = stitch_mosaic(frags, offsets).collect()
+
+    want = marching_squares(whole, level)
+    assert len(stitched) == len(want)
+    # every stitched polyline's vertex multiset matches a whole-grid line
+    def keyset(xs, ys):
+        return tuple(sorted(zip(np.round(xs, 9), np.round(ys, 9))))
+    got_keys = sorted(keyset(r["xs"], r["ys"]) for r in stitched)
+    want_keys = sorted(keyset(l[:, 0], l[:, 1]) for l in want)
+    assert got_keys == want_keys
+
+
 @pytest.mark.parametrize("n_frags", [3, 4, 6])
 def test_stitch_merges_long_chain_without_duplication(spark, n_frags):
     """A fragment must never merge as both left and right side in one round:
