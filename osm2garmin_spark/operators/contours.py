@@ -341,7 +341,12 @@ def stitch_mosaic(frags: DataFrame, offsets: DataFrame,
     id with deterministic fragment numbers, and the standard endpoint
     stitch runs across former image boundaries. Adjacent images must
     share their boundary pixel column/row (the reference's overlap
-    discipline) so seam endpoints coincide exactly."""
+    discipline) so seam endpoints coincide exactly.
+
+    The global row_number puts fragment NUMBERING through one task (the
+    fragment metadata of one mosaic — bounded); stitching itself stays
+    distributed. For many independent mosaics, add the mosaic id to the
+    window's partitionBy."""
     j = frags.join(F.broadcast(offsets), "image_id")
     w = Window.orderBy("image_id", "level", "frag_id")
     translated = (j.select(
