@@ -64,6 +64,26 @@ def strip_ingest_tags(df: DataFrame, tags_col: str = "tags",
                      lambda k, _v: ~F.array_contains(dropped, k)))
 
 
+def keep_complete_nodes(members: DataFrame, node_tiles: DataFrame,
+                        group_tiles: DataFrame,
+                        group_col: str = "group_id", ref_col: str = "ref",
+                        node_id_col: str = "node_id") -> DataFrame:
+    """``--keep-complete=true`` retention (the splitter flag the reference
+    wires in OsmMaker.java:71-76,115): every tile that received a way also
+    receives ALL of the way's member nodes — even nodes whose own
+    coordinates fall outside the tile's extended bounds — so features are
+    never clipped at tile edges. Output = the augmented distinct
+    (node_id, tile_id) assignment set (original point assignments ∪
+    pulled-in members). One extra equi-join + union-distinct; the node
+    table never collects anywhere."""
+    pulled = (members.join(
+        group_tiles.select(group_col, F.explode("tile_ids").alias("tile_id")),
+        group_col)
+        .select(F.col(ref_col).alias(node_id_col), "tile_id"))
+    return (node_tiles.select(node_id_col, "tile_id")
+            .unionByName(pulled).distinct())
+
+
 def assign_relations_to_tiles(rel_members: DataFrame, node_tiles: DataFrame,
                               group_tiles: DataFrame,
                               rel_col: str = "rel_id") -> DataFrame:

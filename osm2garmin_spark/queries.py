@@ -417,6 +417,50 @@ FROM lineitem JOIN node_tiles ON l_partkey = p_partkey
 """
 
 
+def keep_complete_tileset(spark, sf_dir):
+    """--keep-complete retention (OsmMaker.java:71-76): per-tile node set
+    after pulling in every member node of every way assigned to the tile —
+    nodes beyond the tile's bounds included, so ways are never clipped."""
+    from .operators.group_join import keep_complete_nodes
+
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        derived_lat(F.col("p_partkey") + 500000).alias("lat"),
+        derived_lon(F.col("p_partkey") + 500000).alias("lon"))
+    node_tiles = assign_points_to_tiles(part, _FIXED_TILES, overlap=_OVERLAP) \
+        .select(F.col("p_partkey").alias("node_id"), "tile_id")
+    members = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("group_id"), F.col("l_partkey").alias("ref"))
+    grouped = assign_groups_to_tiles(members, node_tiles, "group_id", "ref", "node_id")
+    out = keep_complete_nodes(members, node_tiles, grouped)
+    return out.select(F.col("node_id").alias("p_partkey"), "tile_id")
+
+
+_KEEP_COMPLETE_SQL = f"""
+WITH ppts AS (
+  SELECT p_partkey, {derived_lat_sql('(p_partkey + 500000)')} AS lat,
+         {derived_lon_sql('(p_partkey + 500000)')} AS lon
+  FROM part
+), pmu AS (
+  SELECT p_partkey, {map_unit_sql('lat')} AS lat_mu, {map_unit_sql('lon')} AS lon_mu
+  FROM ppts
+), node_tiles AS (
+  SELECT p_partkey, tile_id
+  FROM pmu, {_tiles_values_sql()}
+  WHERE lat_mu BETWEEN t_min_lat AND t_max_lat
+    AND lon_mu BETWEEN t_min_lon AND t_max_lon
+), way_tiles AS (
+  SELECT DISTINCT l_orderkey, tile_id
+  FROM lineitem JOIN node_tiles ON l_partkey = p_partkey
+)
+SELECT DISTINCT p_partkey, tile_id FROM (
+  SELECT p_partkey, tile_id FROM node_tiles
+  UNION ALL
+  SELECT l.l_partkey AS p_partkey, w.tile_id
+  FROM lineitem l JOIN way_tiles w ON l.l_orderkey = w.l_orderkey)
+"""
+
+
 def cell_encode(spark, sf_dir):
     """hierarchical cell encoding (H3/S2 analogue): Z-order cell ids at
     res 5–9 for every event point — pure JVM bit arithmetic (geo/cells.py)."""
@@ -1017,6 +1061,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changes_gated": apply_changes_gated,
         "doc_token_bpe": doc_token_bpe,
         "embed_near_pairs_exact": embed_near_pairs_exact,
+        "keep_complete_tileset": keep_complete_tileset,
         "tile_names": tile_names,
         "tiling_pipeline_counts": tiling_pipeline_counts,
         "image_decode_stats": image_decode_stats,
@@ -1057,6 +1102,7 @@ def oracle_sql() -> Dict[str, str]:
         "apply_changes_gated": _APPLY_GATED_SQL,
         "doc_token_bpe": _TOKEN_BPE_SQL,
         "embed_near_pairs_exact": _EMBED_PAIRS_SQL,
+        "keep_complete_tileset": _KEEP_COMPLETE_SQL,
         "tile_names": _TILE_NAMES_SQL,
         # tiling_pipeline_counts / image_decode_stats / minhash_candidates /
         # ann_lsh_top3: non-SQL-expressible (driver quadtree, binary decode,

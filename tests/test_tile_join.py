@@ -147,3 +147,22 @@ def test_filter_invalid_members_and_strip_tags(spark):
         "id long, tags map<string,string>")
     out = {r["id"]: dict(r["tags"]) for r in strip_ingest_tags(tagged).collect()}
     assert out == {1: {"name": "x"}, 2: {"name": "y"}}
+
+
+def test_keep_complete_pulls_out_of_bounds_members(spark):
+    """--keep-complete: a way's tile receives ALL member nodes, including
+    nodes that landed in no tile themselves (OsmMaker.java:71-76)."""
+    from osm2garmin_spark.operators.group_join import keep_complete_nodes
+    from pyspark.sql import functions as F
+
+    node_tiles = spark.createDataFrame(
+        [(10, 1), (20, 1), (30, 2)], "node_id long, tile_id int")
+    members = spark.createDataFrame(
+        [(100, 10), (100, 99),    # way 100: node 99 fell outside every tile
+         (200, 30)], "group_id long, ref long")
+    group_tiles = spark.createDataFrame(
+        [(100, [1]), (200, [2])],
+        "group_id long, tile_ids array<int>")
+    out = {(r["node_id"], r["tile_id"]) for r in
+           keep_complete_nodes(members, node_tiles, group_tiles).collect()}
+    assert out == {(10, 1), (20, 1), (30, 2), (99, 1)}
