@@ -59,6 +59,46 @@ def punct_count(text: Column) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
 
 
+def punct_count_sql(col: str) -> str:
+    return (f"(length({col}) - length(regexp_replace({col}, "
+            f"'[.,!?;:]', '', 'g')))")
+
+
+def stopword_hits(text: Column, words=None) -> Column:
+    """Count of (space-delimited) stopword occurrences — integer-exact via
+    the replace-length trick, same discipline as lang_guess."""
+    words = words or LANG_STOPWORDS["en"]
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    total = None
+    for wd in words:
+        cnt = F.floor(
+            (F.length(padded) - F.length(F.replace(padded, F.lit(f" {wd} "),
+                                                   F.lit("")))) / F.lit(len(wd) + 2)
+        ).cast("long")
+        total = cnt if total is None else total + cnt
+    return total
+
+
+def stopword_hits_sql(col: str, words=None) -> str:
+    words = words or LANG_STOPWORDS["en"]
+    padded = f"(' ' || {col} || ' ')"
+    parts = [f"(length({padded}) - length(replace({padded}, ' {wd} ', '')))"
+             f" // {len(wd) + 2}" for wd in words]
+    return "(" + " + ".join(parts) + ")"
+
+
+def stopword_ratio_permille(text: Column) -> Column:
+    """Stopword hits per thousand tokens (integer, portable): the quality
+    signal a training-data filter thresholds on (too low → non-prose,
+    gibberish or wrong-language; floor division keeps it SQL-exact)."""
+    return F.floor(stopword_hits(text) * 1000 / token_count(text)).cast("long")
+
+
+def stopword_ratio_permille_sql(col: str) -> str:
+    return (f"CAST(({stopword_hits_sql(col)} * 1000) "
+            f"// {token_count_sql(col)} AS BIGINT)")
+
+
 def quality_score(text: Column, n_chars: Column) -> Column:
     """Integer quality heuristic in [0, 100]: rewards mid-length documents
     and words-per-char balance; all-integer arithmetic (portable)."""

@@ -674,6 +674,29 @@ FROM documents
 """
 
 
+def doc_quality_signals(spark, sf_dir):
+    """quality-filter signal columns (brief: length/punct/stopword
+    ratios): punctuation count and stopword hits per thousand tokens —
+    integer-exact so the DuckDB twin hashes identically."""
+    docs = _read(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        T.punct_count(F.col("text")).cast("long").alias("n_punct"),
+        T.stopword_ratio_permille(F.col("text")).alias("stopword_permille"),
+    )
+
+
+_QUALITY_SIGNALS_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_text,
+       CAST({T.punct_count_sql('text')} AS BIGINT) AS n_punct,
+       {T.stopword_ratio_permille_sql('text')} AS stopword_permille
+FROM documents
+"""
+
+
 def doc_token_bpe(spark, sf_dir):
     """BPE-style pre-tokenization (GPT-2-family pattern, lookahead-free):
     per-doc pre-token count next to the whitespace count — the token-budget
@@ -1062,6 +1085,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_bpe": doc_token_bpe,
         "embed_near_pairs_exact": embed_near_pairs_exact,
         "keep_complete_tileset": keep_complete_tileset,
+        "doc_quality_signals": doc_quality_signals,
         "tile_names": tile_names,
         "tiling_pipeline_counts": tiling_pipeline_counts,
         "image_decode_stats": image_decode_stats,
@@ -1103,6 +1127,7 @@ def oracle_sql() -> Dict[str, str]:
         "doc_token_bpe": _TOKEN_BPE_SQL,
         "embed_near_pairs_exact": _EMBED_PAIRS_SQL,
         "keep_complete_tileset": _KEEP_COMPLETE_SQL,
+        "doc_quality_signals": _QUALITY_SIGNALS_SQL,
         "tile_names": _TILE_NAMES_SQL,
         # tiling_pipeline_counts / image_decode_stats / minhash_candidates /
         # ann_lsh_top3: non-SQL-expressible (driver quadtree, binary decode,
