@@ -35,3 +35,21 @@ def test_boundary_tie_escalates(spark):
     out = knn_grid(q, nb, 1, cell_deg=1.0).collect()
     assert len(out) == 1
     assert out[0]["n_id"] == 1
+
+
+def test_knn_grid_empty_neighbors(spark):
+    import pandas as pd
+    q = spark.createDataFrame(pd.DataFrame(
+        {"q_id": [0, 1], "q_lat": [0.0, 1.0], "q_lon": [0.0, 1.0]}))
+    nb = spark.createDataFrame([], "n_id long, n_lat double, n_lon double")
+    assert knn_grid(q, nb, 3).count() == 0
+
+
+def test_knn_fewer_neighbors_than_k(spark):
+    import pandas as pd
+    q = spark.createDataFrame(pd.DataFrame(
+        {"q_id": [0], "q_lat": [0.0], "q_lon": [0.0]}))
+    nb = spark.createDataFrame(pd.DataFrame(
+        {"n_id": [7, 8], "n_lat": [1.0, 2.0], "n_lon": [0.0, 0.0]}))
+    out = sorted((r["n_id"], r["rnk"]) for r in knn_grid(q, nb, 5).collect())
+    assert out == [(7, 1), (8, 2)]

@@ -169,3 +169,19 @@ def test_stream_first_seen_state_is_per_key(spark, tmp_path):
     native = {r["key"] for r in spark.sql(
         "select key from firstseen_native").collect()}
     assert native == {r["key"] for r in got}
+
+
+def test_compact_batches_tie_discipline(spark):
+    """Equal versions within a batch: delete outranks modify; then the
+    higher sequence wins (deterministic)."""
+    from osm2garmin_spark.streaming.incremental import compact_batches
+
+    rows = [(1, "modify", 5, 3, "m3"), (1, "delete", 5, 7, "d7"),
+            (1, "modify", 5, 9, "m9"),
+            (2, "modify", 5, 2, "m2"), (2, "modify", 5, 8, "m8")]
+    df = spark.createDataFrame(
+        rows, "id long, action string, version int, seq int, v string")
+    out = {r["id"]: (r["action"], r["v"]) for r in
+           compact_batches(df, "id", batch_size=30).collect()}
+    assert out[1] == ("delete", "d7")   # delete wins the version tie
+    assert out[2] == ("modify", "m8")   # higher seq wins among modifies
