@@ -115,3 +115,68 @@ def cell_id_sql(lat_mu_expr: str, lon_mu_expr: str, res: int) -> str:
     cx = f"GREATEST(0, LEAST({cx}, {lim}))"
     cy = f"GREATEST(0, LEAST({cy}, {lim}))"
     return f"({_spread_sql(cx)}) | (({_spread_sql(cy)}) * 2)"
+
+
+# --- Hilbert ordering (the S2-style curve) -----------------------------------
+#
+# S2's defining trait vs Z-order is Hilbert-curve cell ordering: consecutive
+# ids are ALWAYS grid neighbors, so range scans touch contiguous geography
+# (Z-order jumps at quadrant seams). Same grid/clamp discipline as cell_id;
+# integer-exact in both engines — numpy here, a stepwise CTE chain in SQL
+# (the classic iterative xy→d bit algorithm; each level is one CTE, so the
+# generated SQL grows linearly with resolution, never exponentially).
+
+def hilbert_d_np(cx: np.ndarray, cy: np.ndarray, res: int) -> np.ndarray:
+    """(cx, cy) grid coords → Hilbert curve position at resolution res."""
+    n = 1 << res
+    x = np.asarray(cx, np.int64).copy()
+    y = np.asarray(cy, np.int64).copy()
+    d = np.zeros_like(x)
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: if ry==0 (and flip when rx==1), then swap x/y
+        flip = (ry == 0) & (rx == 1)
+        x_f = np.where(flip, n - 1 - x, x)
+        y_f = np.where(flip, n - 1 - y, y)
+        x, y = np.where(ry == 0, y_f, x_f), np.where(ry == 0, x_f, y_f)
+        s >>= 1
+    return d
+
+
+def hilbert_id_np(lat_mu: np.ndarray, lon_mu: np.ndarray, res: int) -> np.ndarray:
+    cx, cy = cell_xy_np(lat_mu, lon_mu, res)
+    return hilbert_d_np(cx, cy, res)
+
+
+def hilbert_sql_ctes(src_cte: str, id_col: str, lat_mu_expr: str,
+                     lon_mu_expr: str, res: int, out_cte: str = "hf") -> str:
+    """CTE chain computing the same Hilbert position in ANSI SQL: step i
+    consumes bit (res-1-i), updates (x, y, d) — one CTE per level."""
+    lim = (1 << res) - 1
+    n = 1 << res
+    cx = (f"GREATEST(0, LEAST((({lon_mu_expr}) - ({ORIGIN_LON})) "
+          f"// {1 << (24 - res)}, {lim}))")
+    cy = (f"GREATEST(0, LEAST(((({lat_mu_expr}) - ({ORIGIN_LAT})) * 2) "
+          f"// {1 << (24 - res)}, {lim}))")
+    ctes = [f"h0 AS (SELECT {id_col}, CAST({cx} AS BIGINT) AS x, "
+            f"CAST({cy} AS BIGINT) AS y, CAST(0 AS BIGINT) AS d "
+            f"FROM {src_cte})"]
+    prev = "h0"
+    for i in range(res):
+        s = 1 << (res - 1 - i)
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        step = f"h{i + 1}"
+        ctes.append(
+            f"{step} AS (SELECT {id_col}, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {n - 1} - y ELSE y END) ELSE x END AS x, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {n - 1} - x ELSE x END) ELSE y END AS y, "
+            f"d + {s * s} * xor(3 * {rx}, {ry}) AS d FROM {prev})")
+        prev = step
+    ctes.append(f"{out_cte} AS (SELECT {id_col}, d FROM {prev})")
+    return ",\n".join(ctes)

@@ -491,6 +491,44 @@ SELECT {sel} FROM mu
 """
 
 
+def hilbert_encode(spark, sf_dir):
+    """Hilbert-curve cell position at res 7 for every event point — the
+    S2-style ordering next to cell_encode's Z-order (consecutive ids are
+    always grid neighbors, so id-range scans touch contiguous geography).
+    Integer-exact numpy kernel; the oracle runs the same bit algorithm as
+    a stepwise SQL CTE chain."""
+    import pandas as pd
+    from .geo.cells import hilbert_id_np
+    from .geo.units import to_map_unit
+
+    pts = _event_points(spark, sf_dir)
+
+    def kernel(it):
+        for pdf in it:
+            lat_mu = to_map_unit(pdf["lat"].to_numpy())
+            lon_mu = to_map_unit(pdf["lon"].to_numpy())
+            yield pd.DataFrame({
+                "event_id": pdf["event_id"],
+                "hilbert_r7": hilbert_id_np(lat_mu, lon_mu, 7)})
+
+    return pts.select("event_id", "lat", "lon").mapInPandas(
+        kernel, "event_id long, hilbert_r7 long")
+
+
+def _hilbert_sql() -> str:
+    from .geo.cells import hilbert_sql_ctes
+    chain = hilbert_sql_ctes("mu", "event_id", "lat_mu", "lon_mu", 7)
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+mu AS (
+  SELECT event_id, {map_unit_sql('lat')} AS lat_mu, {map_unit_sql('lon')} AS lon_mu
+  FROM pts
+),
+{chain}
+SELECT event_id, d AS hilbert_r7 FROM hf
+"""
+
+
 def relation_tileset(spark, sf_dir):
     """relation→tile union (SplitProcessor.processRelation:128-166):
     relations = nations; node members = customer points, way members =
@@ -1086,6 +1124,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_pairs_exact": embed_near_pairs_exact,
         "keep_complete_tileset": keep_complete_tileset,
         "doc_quality_signals": doc_quality_signals,
+        "hilbert_encode": hilbert_encode,
         "tile_names": tile_names,
         "tiling_pipeline_counts": tiling_pipeline_counts,
         "image_decode_stats": image_decode_stats,
@@ -1128,6 +1167,7 @@ def oracle_sql() -> Dict[str, str]:
         "embed_near_pairs_exact": _EMBED_PAIRS_SQL,
         "keep_complete_tileset": _KEEP_COMPLETE_SQL,
         "doc_quality_signals": _QUALITY_SIGNALS_SQL,
+        "hilbert_encode": _hilbert_sql(),
         "tile_names": _TILE_NAMES_SQL,
         # tiling_pipeline_counts / image_decode_stats / minhash_candidates /
         # ann_lsh_top3: non-SQL-expressible (driver quadtree, binary decode,

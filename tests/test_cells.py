@@ -68,3 +68,36 @@ def test_k_ring():
 def test_cell_xy_bounds():
     cx, cy = cell_xy_np(np.array([to_map_unit(89.0)]), np.array([to_map_unit(179.9)]), 7)
     assert 0 <= cx[0] < 128 and 0 <= cy[0] < 128
+
+
+def test_hilbert_bijective_and_contiguous():
+    """Full grid at res 4: the Hilbert position is a bijection onto
+    [0, 4^res) and CONSECUTIVE positions are always grid neighbors
+    (|dx|+|dy| == 1) — the locality property Z-order lacks (S2's reason
+    for using the Hilbert curve)."""
+    import numpy as np
+    from osm2garmin_spark.geo.cells import hilbert_d_np
+
+    res = 4
+    n = 1 << res
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = hilbert_d_np(xs.ravel(), ys.ravel(), res)
+    assert sorted(d.tolist()) == list(range(n * n))     # bijection
+    order = np.argsort(d)
+    ox, oy = xs.ravel()[order], ys.ravel()[order]
+    steps = np.abs(np.diff(ox)) + np.abs(np.diff(oy))
+    assert np.all(steps == 1)                           # contiguity
+
+
+def test_hilbert_id_from_map_units():
+    import numpy as np
+    from osm2garmin_spark.geo.cells import hilbert_id_np, cell_xy_np, hilbert_d_np
+    from osm2garmin_spark.geo.units import to_map_unit
+
+    lat = np.array([0.0, 45.0, -45.0, 84.9])
+    lon = np.array([0.0, 90.0, -90.0, 179.9])
+    mu_lat, mu_lon = to_map_unit(lat), to_map_unit(lon)
+    got = hilbert_id_np(mu_lat, mu_lon, 7)
+    cx, cy = cell_xy_np(mu_lat, mu_lon, 7)
+    assert np.array_equal(got, hilbert_d_np(cx, cy, 7))
+    assert np.all((got >= 0) & (got < 4 ** 7))
