@@ -64,27 +64,26 @@ def punct_count_sql(col: str) -> str:
             f"'[.,!?;:]', '', 'g')))")
 
 
+def _token_in_set(toks: Column, words) -> Column:
+    """Count of tokens equal to any word in ``words`` (one array pass)."""
+    wset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda w: F.array_contains(wset, w))).cast("long")
+
+
 def stopword_hits(text: Column, words=None) -> Column:
-    """Count of (space-delimited) stopword occurrences — integer-exact via
-    the replace-length trick, same discipline as lang_guess."""
+    """Count of space-delimited stopword occurrences — exact token-equality
+    count over split(text, ' '). (Round 2 used a replace-length trick that
+    consumed the shared delimiter, undercounting adjacent occurrences:
+    ' the the ' counted 1, not 2 — ADVICE r2.)"""
     words = words or LANG_STOPWORDS["en"]
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    total = None
-    for wd in words:
-        cnt = F.floor(
-            (F.length(padded) - F.length(F.replace(padded, F.lit(f" {wd} "),
-                                                   F.lit("")))) / F.lit(len(wd) + 2)
-        ).cast("long")
-        total = cnt if total is None else total + cnt
-    return total
+    return _token_in_set(F.split(text, " ", -1), words)
 
 
 def stopword_hits_sql(col: str, words=None) -> str:
     words = words or LANG_STOPWORDS["en"]
-    padded = f"(' ' || {col} || ' ')"
-    parts = [f"(length({padded}) - length(replace({padded}, ' {wd} ', '')))"
-             f" // {len(wd) + 2}" for wd in words]
-    return "(" + " + ".join(parts) + ")"
+    wset = ", ".join(f"'{w}'" for w in words)
+    return (f"CAST(len(list_filter(string_split({col}, ' '), "
+            f"w -> w IN ({wset}))) AS BIGINT)")
 
 
 def stopword_ratio_permille(text: Column) -> Column:
@@ -144,18 +143,11 @@ def fingerprint_sql(col: str) -> str:
 def lang_guess(text: Column) -> Column:
     """Stopword-hit language heuristic: the language with the most stopword
     matches wins; ties/none → 'unknown'. Deterministic tie-break by
-    language order en,de,es,fr,zh."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    scores = []
-    for lang, words in LANG_STOPWORDS.items():
-        s = None
-        for wd in words:
-            cnt = F.floor(
-                (F.length(padded) - F.length(F.replace(padded, F.lit(f" {wd} "), F.lit(""))))
-                / F.lit(len(wd) + 2)
-            ).cast("long")
-            s = cnt if s is None else s + cnt
-        scores.append((lang, s))
+    language order en,de,es,fr,zh. Counting discipline = stopword_hits
+    (exact token equality over split, adjacent occurrences each count)."""
+    toks = F.split(text, " ", -1)
+    scores = [(lang, _token_in_set(toks, words))
+              for lang, words in LANG_STOPWORDS.items()]
     # first language with the strictly-highest score wins (forward scan)
     result = F.lit("unknown")
     running_max = F.lit(0).cast("long")

@@ -687,13 +687,11 @@ def doc_text_features(spark, sf_dir):
 
 
 def _lang_guess_sql(col: str) -> str:
-    padded = f"(' ' || {col} || ' ')"
     score = {}
     for lang, words in T.LANG_STOPWORDS.items():
-        parts = [
-            f"(length({padded}) - length(replace({padded}, ' {wd} ', ''))) // {len(wd) + 2}"
-            for wd in words]
-        score[lang] = "(" + " + ".join(parts) + ")"
+        wset = ", ".join(f"'{w}'" for w in words)
+        score[lang] = (f"CAST(len(list_filter(string_split({col}, ' '), "
+                       f"w -> w IN ({wset}))) AS BIGINT)")
     # forward first-strictly-greater scan, same as text.lang_guess
     result = "'unknown'"
     running = "CAST(0 AS BIGINT)"

@@ -101,6 +101,12 @@ def read_tiles_kml(path: str) -> List[Area]:
                 coords_text = el.text or ""
         if coords_text is None:
             continue
+        if map_id is None:
+            # KmlParser.java fails on a Placemark without a parseable
+            # <name>; silently emitting map_id=None was laxer (ADVICE r2)
+            raise ValueError(
+                "Unexpected area name: Placemark with coordinates has no "
+                "<name> element")
         pairs = coords_text.strip().split()
         if len(pairs) != 5:
             raise ValueError(
@@ -109,7 +115,9 @@ def read_tiles_kml(path: str) -> List[Area]:
         cc = []
         for p in pairs:
             parts = p.split(",")
-            if len(parts) < 2:
+            if len(parts) != 2:
+                # KmlParser.java raises on pairs != 2 — a lon,lat,alt
+                # triple is a contract violation, not a tolerated extra
                 raise ValueError(f"Unexpected coordinate pair {p!r}")
             cc.extend([int(to_map_unit(float(parts[0]))),
                        int(to_map_unit(float(parts[1])))])

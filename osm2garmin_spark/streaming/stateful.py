@@ -56,6 +56,12 @@ def _make_dedup_fn(ttl_ms: Optional[int]):
         for _ in pdfs:
             pass
         if state.exists:
+            # Spark clears a group's timeout on every invocation of the
+            # state function, so a re-seen key must RE-ARM its TTL here or
+            # its state row is pinned forever (ADVICE r2): the TTL clock
+            # restarts from the latest sighting (idle-expiry semantics).
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             return
         now = state.getCurrentProcessingTimeMs()
         state.update((now,))

@@ -195,3 +195,33 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (0, 3) in out           # identical
     assert (0, 1) in out           # jaccard 8/10
     assert (0, 2) not in out
+
+
+def test_stopword_hits_adjacent_and_sql_parity(spark):
+    """ADVICE r2: adjacent stopword occurrences must each count — the old
+    replace-length trick consumed the shared delimiter (' the the ' → 1).
+    The DuckDB twin must agree token-for-token."""
+    import duckdb
+    rows = [(0, "the the and of of of"), (1, "the quick the"),
+            (2, "nothing here"), (3, "the"), (4, "and  and")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", T.stopword_hits(F.col("text")).alias("n")).collect()}
+    assert got[0] == 6          # 2×the + 1×and + 3×of
+    assert got[1] == 2
+    assert got[2] == 0
+    assert got[3] == 1
+    assert got[4] == 2          # double space between must not merge tokens
+    con = duckdb.connect()
+    for _id, txt in rows:
+        sql_n = con.execute(
+            f"SELECT {T.stopword_hits_sql('$1')}", [txt]).fetchone()[0]
+        assert sql_n == got[_id], (txt, sql_n, got[_id])
+
+
+def test_lang_guess_split_semantics(spark):
+    rows = [(0, "the the und"), (1, "der und die der"), (2, "zzz qqq")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lg"] for r in df.select(
+        "id", T.lang_guess(F.col("text")).alias("lg")).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "unknown"

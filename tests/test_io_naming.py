@@ -196,3 +196,23 @@ def test_contour_cell_id():
     from osm2garmin_spark.sources.io import contour_cell_id
     assert contour_cell_id(14.43, 50.08) == ((50 + 90) * 360 + (14 + 180)) * 1000
     assert contour_cell_id(-0.5, -0.5) == ((-1 + 90) * 360 + (-1 + 180)) * 1000
+
+
+def test_kml_reader_strictness_advice_r2(tmp_path):
+    """ADVICE r2: KmlParser.java contract — lon,lat,alt triples and a
+    missing <name> are violations, not tolerated laxness."""
+    p = str(tmp_path / "bad2.kml")
+    with open(p, "w") as f:
+        f.write('<kml><Document><Placemark><name>1</name>'
+                '<Polygon><outerBoundaryIs><LinearRing><coordinates>'
+                '0,0,99 1,0 1,1 0,1 0,0</coordinates></LinearRing>'
+                '</outerBoundaryIs></Polygon></Placemark></Document></kml>')
+    with pytest.raises(ValueError, match="coordinate pair"):
+        read_tiles_kml(p)
+    with open(p, "w") as f:
+        f.write('<kml><Document><Placemark>'
+                '<Polygon><outerBoundaryIs><LinearRing><coordinates>'
+                '0,0 1,0 1,1 0,1 0,0</coordinates></LinearRing>'
+                '</outerBoundaryIs></Polygon></Placemark></Document></kml>')
+    with pytest.raises(ValueError, match="no\\s*<name>|name"):
+        read_tiles_kml(p)

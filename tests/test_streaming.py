@@ -185,3 +185,37 @@ def test_compact_batches_tie_discipline(spark):
            compact_batches(df, "id", batch_size=30).collect()}
     assert out[1] == ("delete", "d7")   # delete wins the version tie
     assert out[2] == ("modify", "m8")   # higher seq wins among modifies
+
+
+def test_stream_first_seen_ttl_rearmed_on_reseen_key():
+    """ADVICE r2: Spark clears a group's timeout on every invocation, so
+    the state.exists early-return must re-arm setTimeoutDuration or a
+    recurring key's state is pinned forever. Unit-level: drive the state
+    function with a fake GroupState and assert the re-arm happens."""
+    import pandas as pd
+    from osm2garmin_spark.streaming.stateful import _make_dedup_fn
+
+    class FakeState:
+        hasTimedOut = False
+        exists = True
+        def __init__(self):
+            self.timeout_set = []
+        def setTimeoutDuration(self, ms):
+            self.timeout_set.append(ms)
+        def getCurrentProcessingTimeMs(self):
+            return 0
+        def update(self, v):
+            pass
+        def remove(self):
+            pass
+
+    st = FakeState()
+    fn = _make_dedup_fn(ttl_ms=5000)
+    list(fn((0, "k"), iter([pd.DataFrame({"bucket": [0], "key": ["k"]})]), st))
+    assert st.timeout_set == [5000], "re-seen key must re-arm its TTL"
+
+    # and with ttl_ms=None nothing is armed
+    st2 = FakeState()
+    fn2 = _make_dedup_fn(ttl_ms=None)
+    list(fn2((0, "k"), iter([pd.DataFrame({"bucket": [0], "key": ["k"]})]), st2))
+    assert st2.timeout_set == []
