@@ -53,3 +53,53 @@ def test_knn_fewer_neighbors_than_k(spark):
         {"n_id": [7, 8], "n_lat": [1.0, 2.0], "n_lon": [0.0, 0.0]}))
     out = sorted((r["n_id"], r["rnk"]) for r in knn_grid(q, nb, 5).collect())
     assert out == [(7, 1), (8, 2)]
+
+
+def test_grid_escalation_never_collects_neighbors(spark, monkeypatch, caplog):
+    """VERDICT r2 #1: the grid path (the both-sides-large case) must never
+    materialize the neighbor table on the driver. Force the grid path with
+    an explicit cell and a clustered layout where many queries escalate;
+    knn_bruteforce_np (the collect-based kernel) must never be invoked, and
+    results must still equal the exact broadcast path."""
+    import logging
+    import osm2garmin_spark.operators.knn as K
+
+    def _boom(*a, **kw):
+        raise AssertionError("grid escalation must not collect the "
+                             "neighbor table (knn_bruteforce_np called)")
+    monkeypatch.setattr(K, "knn_bruteforce_np", _boom)
+
+    rng = np.random.default_rng(11)
+    # neighbors clustered far from half the queries → those queries have
+    # empty/insufficient rings at cell_deg=1 and must escalate several
+    # levels before their ring reaches the cluster
+    q = pd.DataFrame({"q_id": np.arange(120),
+                      "q_lat": np.where(np.arange(120) < 60,
+                                        rng.uniform(-1, 1, 120),
+                                        rng.uniform(40, 42, 120)),
+                      "q_lon": rng.uniform(-1, 1, 120)})
+    nb = pd.DataFrame({"n_id": np.arange(300),
+                       "n_lat": rng.uniform(-1, 1, 300),
+                       "n_lon": rng.uniform(-1, 1, 300)})
+    qd, nd = spark.createDataFrame(q), spark.createDataFrame(nb)
+    with caplog.at_level(logging.INFO, logger="osm2garmin_spark.operators.knn"):
+        got = sorted(map(tuple, K.knn_grid(qd, nd, 3, cell_deg=1.0).collect()))
+    want = sorted(map(tuple, knn_broadcast(qd, nd, 3).collect()))
+    assert got == want
+    # escalation-round count is logged (VERDICT done-criterion)
+    assert any("level" in r.message for r in caplog.records)
+
+
+def test_grid_auto_small_neighbors_still_uses_bruteforce(spark, monkeypatch):
+    """Auto dispatch keeps the guarded collect fast path for small tables."""
+    import osm2garmin_spark.operators.knn as K
+    calls = []
+    orig = K.knn_bruteforce_np
+    monkeypatch.setattr(K, "knn_bruteforce_np",
+                        lambda *a, **kw: calls.append(1) or orig(*a, **kw))
+    q = spark.createDataFrame(pd.DataFrame(
+        {"q_id": [0, 1], "q_lat": [0.0, 1.0], "q_lon": [0.0, 1.0]}))
+    nb = spark.createDataFrame(pd.DataFrame(
+        {"n_id": [1, 2], "n_lat": [0.5, 2.0], "n_lon": [0.0, 1.0]}))
+    out = K.knn_grid(q, nb, 1)
+    assert out.count() == 2 and calls == [1]
