@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from osm2garmin_spark.operators.contours import (
     contour_levels, marching_squares, extract_contours, stitch_contours,
@@ -278,3 +279,59 @@ def test_stitch_closes_ring_of_fragments(spark):
     assert len(out) == 1
     assert out[0]["closed"]
     assert len(out[0]["xs"]) == 5
+
+
+def test_stitch_mosaic_multi_partitioned(spark):
+    """VERDICT r2 #5: many independent mosaics must renumber in a
+    PARTITIONED window (not one global task) and stitch bit-identically to
+    per-mosaic runs."""
+    from osm2garmin_spark.operators.contours import (stitch_mosaic,
+                                                     mosaic_translate)
+
+    rng = np.random.default_rng(23)
+    level = 50.0
+
+    def frag_rows(img_id, grid):
+        return [(img_id, level, i, line[:, 0].tolist(), line[:, 1].tolist(),
+                 bool(np.all(line[0] == line[-1]) and len(line) > 2))
+                for i, line in enumerate(marching_squares(grid, level))]
+
+    whole_a = rng.uniform(0, 100, (10, 16))
+    whole_b = rng.uniform(0, 100, (10, 16))
+    rows = (frag_rows("A_L", whole_a[:, :9]) + frag_rows("A_R", whole_a[:, 8:])
+            + frag_rows("B_L", whole_b[:, :9]) + frag_rows("B_R", whole_b[:, 8:]))
+    frags = spark.createDataFrame(
+        rows, "image_id string, level double, frag_id int, xs array<double>, "
+        "ys array<double>, closed boolean")
+    offsets = spark.createDataFrame(
+        [("A_L", 0.0, 0.0, "mA"), ("A_R", 8.0, 0.0, "mA"),
+         ("B_L", 0.0, 0.0, "mB"), ("B_R", 8.0, 0.0, "mB")],
+        "image_id string, off_x double, off_y double, mosaic string")
+
+    # the renumbering window is partitioned by the mosaic id (no
+    # single-task global sort); assert on the pre-stitch stage because
+    # stitch_contours truncates lineage via localCheckpoint
+    plan = mosaic_translate(frags, offsets, mosaic_col="mosaic") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    wplans = [l for l in plan.splitlines()
+              if "windowspecdefinition" in l.lower()]
+    assert wplans and all("_mosaic" in l for l in wplans), wplans
+
+    both = stitch_mosaic(frags, offsets, mosaic_col="mosaic")
+    got = both.collect()
+
+    def run_single(prefix):
+        f1 = frags.filter(F.col("image_id").startswith(prefix))
+        o1 = offsets.filter(F.col("mosaic") == f"m{prefix[0]}") \
+            .select("image_id", "off_x", "off_y")
+        return stitch_mosaic(f1, o1).collect()
+
+    def keyset(rows_):
+        return sorted(
+            (tuple(sorted(zip(np.round(r["xs"], 9), np.round(r["ys"], 9)))))
+            for r in rows_)
+
+    got_a = keyset([r for r in got if r["image_id"] == "mA"])
+    got_b = keyset([r for r in got if r["image_id"] == "mB"])
+    assert got_a == keyset(run_single("A_"))
+    assert got_b == keyset(run_single("B_"))

