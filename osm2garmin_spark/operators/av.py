@@ -69,18 +69,26 @@ def synth_videos(spark: SparkSession, n: int, n_frames: int = 12,
 
 def synth_audio(spark: SparkSession, n: int, n_samples: int = 4096,
                 sample_rate: int = 16000, partitions: int = 4) -> DataFrame:
-    """Deterministic fake-audio corpus: int16 PCM sine + integer-LCG noise
-    (pure integer phase math — reproducible at any parallelism)."""
+    """Deterministic fake-audio corpus: int16 PCM triangle wave +
+    integer-LCG noise. Integer phase math + IEEE basic ops ONLY (+ - * /
+    abs — each correctly rounded per IEEE 754), deliberately no libm
+    transcendentals: the waveform is bit-reproducible in ANY engine, so
+    the DuckDB oracle for audio_window_features can recompute the exact
+    PCM (a sin()-based tone differs between numpy's vectorized sin and
+    another engine's libm in the last ulp, which flips the int16
+    truncation on boundary samples)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        t = np.arange(n_samples, dtype=np.float64)
+        ti = np.arange(n_samples, dtype=np.int64)
+        t = ti.astype(np.float64)
         for pdf in it:
             ids = pdf["id"].to_numpy(dtype=np.int64)
             rows = {"audio_id": [], "bytes": [], "sample_rate": []}
             for i in ids.tolist():
-                freq = 110.0 * (i % 8 + 1)
-                tone = np.sin(2 * np.pi * freq * t / sample_rate)
-                noise = (((i * 1103515245 + t.astype(np.int64) * 12345 + 7)
+                freq = 110 * (i % 8 + 1)
+                phase = ((freq * ti) % sample_rate).astype(np.float64)
+                tone = np.abs(phase * 2.0 / sample_rate - 1.0) * 2.0 - 1.0
+                noise = (((i * 1103515245 + ti * 12345 + 7)
                           % 2048) - 1024) / 8192.0
                 pcm = np.clip((tone * 0.5 + noise * 0.1) * 32767,
                               -32768, 32767).astype("<i2")

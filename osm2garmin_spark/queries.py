@@ -1122,6 +1122,166 @@ def ann_ivf_top3(spark, sf_dir):
     return out.select("q_id", "c_id", "rnk")
 
 
+
+
+# ---------------------------------------------------------------------------
+# round-3 oracles for the formerly rows-only queries: the AV/image synth is
+# closed-form integer (or IEEE-basic-op) math, so DuckDB recomputes the
+# exact expected outputs from first principles; the tiling-pipeline oracle
+# pins the deterministic quadtree STRUCTURE and recomputes the per-tile
+# counts independently.
+# ---------------------------------------------------------------------------
+
+#: Deterministic quadtree tile set at sf0.01 (max_nodes=200, overlap 2000,
+#: resolution 13) — the pinned output of the driver quadtree on the events
+#: table, regenerate with tools/gen_pipeline_tiles.py if testdata changes.
+#: Only the tile STRUCTURE is pinned; the oracle recomputes every count.
+_SF001_PIPE_TILES = [
+    (63240001, -59392, -2334720, 1894400, -1335296),
+    (63240002, -2029568, -4349952, -100352, -3354624),
+    (63240003, 1918976, 3723264, 2934784, 5758976),
+    (63240004, -2015232, 3715072, -77824, 4734976),
+    (63240005, -77824, -6375424, 1900544, -5371904),
+    (63240006, -2033664, -8382464, -92160, -7378944),
+    (63240007, 1933312, -333824, 2936832, 1685504),
+    (63240008, -2007040, -323584, -77824, 667648),
+    (63240009, 1910784, -2344960, 2922496, -342016),
+    (63240010, -2013184, -2347008, -79872, -1347584),
+    (63240011, 1894400, 5763072, 2902016, 8343552),
+    (63240012, -2027520, 5767168, -98304, 6856704),
+    (63240013, 1904640, -6365184, 2932736, -4370432),
+    (63240014, -2011136, -6377472, -86016, -5369856),
+    (63240015, 1902592, 1693696, 2914304, 3713024),
+    (63240016, -2031616, 1689600, -90112, 2693120),
+    (63240017, -77824, -4360192, 1896448, -3352576),
+    (63240018, -3958784, -4356096, -3004416, -2349056),
+    (63240019, -75776, 3713024, 1898496, 4737024),
+    (63240020, -3960832, 3739648, -2994176, 5746688),
+    (63240021, -69632, -8386560, 1875968, -7391232),
+    (63240022, -3960832, -8388608, -3010560, -6381568),
+    (63240023, -67584, -333824, 1906688, 677888),
+    (63240024, -3958784, -323584, -2992128, 1671168),
+    (63240025, 1904640, -4360192, 2924544, -2365440),
+    (63240026, -3952640, -2338816, -2985984, -327680),
+    (63240027, -75776, 5777408, 1873920, 6846464),
+    (63240028, -3960832, 5773312, -3006464, 8382464),
+    (63240029, 1906688, -8386560, 2914304, -6391808),
+    (63240030, -3960832, -6377472, -2990080, -4370432),
+    (63240031, -67584, 1691648, 1882112, 2691072),
+    (63240032, -3958784, 1703936, -3012608, 3710976),
+    (63240033, -73728, -1329152, 1900544, -333824),
+    (63240034, -2035712, -3348480, -90112, -2349056),
+    (63240035, 2934784, 3713024, 3958784, 5748736),
+    (63240036, -2009088, 4743168, -79872, 5758976),
+    (63240037, -65536, -5367808, 1900544, -4360192),
+    (63240038, -2027520, -7378944, -81920, -6387712),
+    (63240039, 2938880, -325632, 3958784, 1689600),
+    (63240040, -2000896, 667648, -96256, 1687552),
+    (63240041, 2938880, -2349056, 3958784, -333824),
+    (63240042, -2015232, -1343488, -77824, -327680),
+    (63240043, 2922496, 5761024, 3958784, 8382464),
+    (63240044, -2027520, 6864896, -102400, 8388608),
+    (63240045, 2949120, -6375424, 3960832, -4368384),
+    (63240046, -2011136, -5365760, -81920, -4362240),
+    (63240047, 2932736, 1697792, 3960832, 3704832),
+    (63240048, -2027520, 2693120, -86016, 3708928),
+    (63240049, -73728, -3352576, 1900544, -2344960),
+    (63240050, -3000320, -4354048, -2037760, -2359296),
+    (63240051, -71680, 4737024, 1906688, 5761024),
+    (63240052, -2990080, 3717120, -2015232, 5765120),
+    (63240053, -57344, -7383040, 1888256, -6379520),
+    (63240054, -3010560, -8380416, -2035712, -6377472),
+    (63240055, -73728, 681984, 1912832, 1681408),
+    (63240056, -2988032, -327680, -2025472, 1683456),
+    (63240057, 2928640, -4354048, 3960832, -2359296),
+    (63240058, -2985984, -2332672, -2015232, -337920),
+    (63240059, -65536, 6854656, 1871872, 8378368),
+    (63240060, -3006464, 5769216, -2031616, 8349696),
+    (63240061, 2916352, -8376320, 3944448, -6385664),
+    (63240062, -2990080, -6369280, -2015232, -4362240),
+    (63240063, -57344, 2699264, 1884160, 3710976),
+    (63240064, -3008512, 1687552, -2050048, 3702784),
+]
+
+
+def _pipe_tiles_values_sql() -> str:
+    rows = ", ".join(
+        f"({m}, {a - _OVERLAP}, {b - _OVERLAP}, {c + _OVERLAP}, {d + _OVERLAP})"
+        for m, a, b, c, d in _SF001_PIPE_TILES)
+    return (f"(VALUES {rows}) AS tiles(tile_id, t_min_lat, t_min_lon, "
+            f"t_max_lat, t_max_lon)")
+
+
+_PIPE_COUNTS_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+mu AS (
+  SELECT event_id, {map_unit_sql('lat')} AS lat_mu, {map_unit_sql('lon')} AS lon_mu
+  FROM pts
+)
+SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM mu, {_pipe_tiles_values_sql()}
+WHERE lat_mu BETWEEN t_min_lat AND t_max_lat
+  AND lon_mu BETWEEN t_min_lon AND t_max_lon
+GROUP BY tile_id
+"""
+
+# image_decode_stats: the synth pattern is v(x,y) = (x*(id%7+1) + y*(id%11+3)
+# + id) % 256 (pipeline/synth.py:_gen_batch); raw/png decode losslessly, q6
+# stores v>>2 and decodes to q*4+2 (monotone in v, so min/max commute with
+# the transform; the 255 cap never binds because (255//4)*4+2 = 254). The
+# oracle recomputes expected stats from the generator formula — verifying
+# the real decode path (incl. the from-scratch PNG codec) end-to-end.
+_IMG_STATS_SQL = """
+WITH px AS (
+  SELECT d.doc_id AS id,
+         (x * (d.doc_id % 7 + 1) + y * (d.doc_id % 11 + 3) + d.doc_id) % 256 AS v
+  FROM documents d, range(16) xs(x), range(16) ys(y)),
+mm AS (SELECT id, MIN(v) AS mn, MAX(v) AS mx FROM px GROUP BY id)
+SELECT 'img' || CAST(id AS VARCHAR) AS image_id,
+       CAST(CASE WHEN id % 3 = 2 THEN mn // 4 * 4 + 2 ELSE mn END AS INTEGER) AS p_min,
+       CAST(CASE WHEN id % 3 = 2 THEN mx // 4 * 4 + 2 ELSE mx END AS INTEGER) AS p_max
+FROM mm
+"""
+
+# video_frame_stats: frame f of video i is ((x*(i%7+1) + y*(i%11+3) + i + f)
+# % 256) (operators/av.py:synth_videos); sampled frames are 0, 4, 8
+# (n_frames=12, every=4). Verifies container split + frame fan-out + the
+# image stat kernel against the closed-form pattern.
+_VIDEO_STATS_SQL = """
+WITH ids AS (
+  SELECT i FROM range(500) t(i)
+  WHERE i < (SELECT LEAST(COUNT(*), 500) FROM documents)),
+px AS (
+  SELECT i, f, (x * (i % 7 + 1) + y * (i % 11 + 3) + i + f) % 256 AS v
+  FROM ids, (VALUES (0), (4), (8)) fs(f), range(16) xs(x), range(16) ys(y))
+SELECT 'vid' || CAST(i AS VARCHAR) || '_' || CAST(f AS VARCHAR) AS image_id,
+       CAST(MIN(v) AS INTEGER) AS p_min, CAST(MAX(v) AS INTEGER) AS p_max
+FROM px GROUP BY i, f
+"""
+
+# audio_window_features: the PCM is triangle wave + integer-LCG noise built
+# from IEEE basic ops only (operators/av.py:synth_audio — deliberately no
+# libm sin, whose last-ulp differences across engines would flip the int16
+# truncation on boundary samples), so DuckDB reproduces every sample
+# bit-exactly and the per-window peak is an exact integer oracle.
+_AUDIO_FEATURES_SQL = """
+WITH ids AS (
+  SELECT i FROM range(500) t(i)
+  WHERE i < (SELECT LEAST(COUNT(*), 500) FROM documents)),
+pcm AS (
+  SELECT i, t,
+    CAST(TRUNC(GREATEST(-32768.0, LEAST(32767.0,
+      ((ABS(((110 * (i % 8 + 1) * t) % 16000) * 2.0 / 16000 - 1.0) * 2.0 - 1.0) * 0.5
+       + (((i * 1103515245 + t * 12345 + 7) % 2048) - 1024) / 8192.0 * 0.1)
+      * 32767))) AS INTEGER) AS s
+  FROM ids, range(4096) ts(t))
+SELECT 'aud' || CAST(i AS VARCHAR) AS audio_id,
+       CAST(t // 1024 AS INTEGER) AS win_idx,
+       CAST(MAX(ABS(s)) AS INTEGER) AS peak
+FROM pcm GROUP BY i, t // 1024
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1202,7 +1362,12 @@ def oracle_sql() -> Dict[str, str]:
         "doc_quality_signals": _QUALITY_SIGNALS_SQL,
         "hilbert_encode": _hilbert_sql(),
         "tile_names": _TILE_NAMES_SQL,
-        # tiling_pipeline_counts / image_decode_stats / minhash_candidates /
-        # ann_lsh_top3: non-SQL-expressible (driver quadtree, binary decode,
-        # LSH buckets) → rows-only check
+        "tiling_pipeline_counts": _PIPE_COUNTS_SQL,
+        "image_decode_stats": _IMG_STATS_SQL,
+        "video_frame_stats": _VIDEO_STATS_SQL,
+        "audio_window_features": _AUDIO_FEATURES_SQL,
+        # minhash_candidates / ann_lsh_top3 / ann_ivf_top3: genuinely
+        # non-SQL-expressible (LSH bucket structure / IVF centroids) →
+        # rows-only check; their recall is pinned against the exact twins
+        # (embed_top3, embed_near_pairs_exact) in tests/test_similarity.py
     }
