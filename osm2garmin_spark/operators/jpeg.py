@@ -1,0 +1,383 @@
+"""Baseline JPEG (JFIF) codec for 8-bit grayscale, from the public ITU-T
+T.81 spec, in pure numpy + stdlib — no image library exists in this
+container, and the engine's raster path (operators/raster.py) needs a real
+lossy codec behind ``fmt='jpeg'`` the same way ``png.py`` backs
+``fmt='png'`` (reference analogue: Srtm.java:143-156 decodes stored raster
+bytes before contouring; our multimodal corpus stores image bytes that the
+verify stage must actually decode).
+
+Scope (disclosed, checked at decode): baseline sequential DCT (SOF0),
+single 8-bit component, no chroma subsampling, no restart intervals, no
+progressive (SOF2) / arithmetic coding. Encoder emits exactly this subset
+with the spec's Annex K luminance quantization table (scaled by the usual
+IJG quality formula) and the spec's canonical luminance Huffman tables;
+the decoder accepts any stream within the subset, not just its own output
+(it reads DQT/DHT tables from the stream).
+
+Per-symbol entropy decode runs in Python over a 16-bit-prefix LUT — fine
+for the 16x16 corpus tiles and test fixtures this backs; a production
+decode of large rasters would vectorize the bitstream pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# -- spec tables (ITU-T T.81 Annex K) ---------------------------------------
+
+#: K.1 luminance quantization table, raster order
+QTABLE_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int64)
+
+#: zigzag scan: raster index of the i-th zigzag coefficient
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+#: K.3.1 luminance DC Huffman spec: (code-length counts 1..16, symbols)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+
+#: K.3.2 luminance AC Huffman spec
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+# orthonormal 8x8 DCT-II basis: forward F = D @ B @ D.T, inverse D.T @ F @ D
+_n = np.arange(8)
+_DCT = np.cos((2 * _n[None, :] + 1) * _n[:, None] * np.pi / 16) * 0.5
+_DCT[0, :] = 1.0 / math.sqrt(8.0)
+
+
+def quant_table(quality: int) -> np.ndarray:
+    """Annex K luminance table scaled by the conventional IJG quality
+    mapping; quality=100 gives the all-ones table (near-lossless)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (QTABLE_LUMA * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+def _huff_encode_table(bits, vals) -> dict:
+    """symbol -> (code, length), canonical JPEG assignment (C.2)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_lut(bits, vals):
+    """16-bit-prefix LUT: sym[p], nbits[p] for every 16-bit window p."""
+    sym = np.full(1 << 16, -1, np.int32)
+    ln = np.zeros(1 << 16, np.int32)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym, ln
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:          # byte stuffing (F.1.2.3)
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # pad with 1-bits
+
+
+class _BitReader:
+    """MSB-first reader over the destuffed entropy segment. Shifts one big
+    int — O(segment) per read, fine for small tiles."""
+
+    def __init__(self, data: bytes) -> None:
+        self.val = int.from_bytes(data, "big")
+        self.total = len(data) * 8
+        self.pos = 0
+
+    def peek16(self) -> int:
+        shift = self.total - self.pos - 16
+        if shift >= 0:
+            return (self.val >> shift) & 0xFFFF
+        return (self.val << -shift) & 0xFFFF
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.total:
+            raise ValueError("jpeg: entropy stream truncated")
+        shift = self.total - self.pos - n
+        self.pos += n
+        return (self.val >> shift) & ((1 << n) - 1)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 (h, w) grayscale -> baseline JFIF bytes."""
+    img = np.asarray(img)
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects a 2-D uint8 array")
+    h, w = img.shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("jpeg: bad dimensions")
+    q = quant_table(quality)
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    pad = np.pad(img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64)
+    coef = np.einsum("ij,abjk,lk->abil", _DCT, blocks - 128.0, _DCT)
+    qc = np.round(coef / q).astype(np.int64)
+    zz = qc.reshape(bh * bw, 64)[:, ZIGZAG]
+
+    dc_codes = _huff_encode_table(DC_BITS, DC_VALS)
+    ac_codes = _huff_encode_table(AC_BITS, AC_VALS)
+    bwriter = _BitWriter()
+    prev_dc = 0
+    for blk in zz:
+        diff = int(blk[0]) - prev_dc
+        prev_dc = int(blk[0])
+        cat = _category(diff)
+        code, ln = dc_codes[cat]
+        bwriter.write(code, ln)
+        if cat:
+            bwriter.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]       # ZRL
+                bwriter.write(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bwriter.write(code, ln)
+            bwriter.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]           # EOB
+            bwriter.write(code, ln)
+    bwriter.flush()
+
+    out = bytearray()
+    out += b"\xFF\xD8"                                      # SOI
+    out += b"\xFF\xE0" + (16).to_bytes(2, "big")            # APP0 / JFIF
+    out += b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    out += b"\xFF\xDB" + (67).to_bytes(2, "big") + b"\x00"  # DQT, Pq=0 Tq=0
+    out += bytes(int(x) for x in q.reshape(64)[ZIGZAG])
+    out += b"\xFF\xC0" + (11).to_bytes(2, "big")            # SOF0
+    out += b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    out += b"\x01" + b"\x01\x11\x00"                        # 1 comp, h1v1
+    out += b"\xFF\xC4" + (2 + 1 + 16 + len(DC_VALS)).to_bytes(2, "big")
+    out += b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)        # DHT DC0
+    out += b"\xFF\xC4" + (2 + 1 + 16 + len(AC_VALS)).to_bytes(2, "big")
+    out += b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)        # DHT AC0
+    out += b"\xFF\xDA" + (8).to_bytes(2, "big")             # SOS
+    out += b"\x01" + b"\x01\x00" + b"\x00\x3F\x00"
+    out += bwriter.buf
+    out += b"\xFF\xD9"                                      # EOI
+    return bytes(out)
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 (h, w) grayscale. Reads DQT/DHT from
+    the stream (accepts any single-component baseline stream, not just
+    encode_jpeg output); raises on streams outside the supported subset."""
+    if len(b) < 4 or b[0:2] != b"\xFF\xD8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_luts: dict[int, tuple] = {}
+    ac_luts: dict[int, tuple] = {}
+    h = w = -1
+    comp_q = comp_dc = comp_ac = 0
+    entropy = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker alignment")
+        marker = b[pos + 1]
+        if marker == 0xD9:                      # EOI before SOS
+            break
+        seglen = int.from_bytes(b[pos + 2:pos + 4], "big")
+        seg = b[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:                      # DQT
+            o = 0
+            while o < len(seg):
+                if o + 65 > len(seg):
+                    raise ValueError("jpeg: truncated DQT segment")
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                tbl = np.zeros(64, np.int64)
+                tbl[ZIGZAG] = np.frombuffer(seg[o + 1:o + 65], np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:                    # DHT
+            o = 0
+            while o < len(seg):
+                if o + 17 > len(seg):
+                    raise ValueError("jpeg: truncated DHT segment")
+                tc, th = seg[o] >> 4, seg[o] & 0xF
+                bits = list(seg[o + 1:o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17:o + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("jpeg: truncated DHT segment")
+                (dc_luts if tc == 0 else ac_luts)[th] = \
+                    _huff_decode_lut(bits, vals)
+                o += 17 + nv
+        elif marker == 0xC0:                    # SOF0 baseline
+            if seg[0] != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[5] != 1:
+                raise NotImplementedError("jpeg: only 1 component (grayscale)")
+            if seg[7] != 0x11:
+                raise NotImplementedError("jpeg: no subsampling support")
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("jpeg: only baseline SOF0 supported")
+        elif marker == 0xDD:                    # DRI
+            if int.from_bytes(seg[0:2], "big") != 0:
+                raise NotImplementedError("jpeg: restart intervals")
+        elif marker == 0xDA:                    # SOS
+            if seg[0] != 1:
+                raise NotImplementedError("jpeg: only 1 scan component")
+            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0xF
+            scan = b[pos + 2 + seglen:]
+            # destuff up to EOI; a bare FF followed by a non-0/non-RST
+            # marker byte ends the entropy segment
+            ent = bytearray()
+            i = 0
+            while i < len(scan):
+                byte = scan[i]
+                if byte == 0xFF:
+                    nxt = scan[i + 1] if i + 1 < len(scan) else 0xD9
+                    if nxt == 0x00:
+                        ent.append(0xFF)
+                        i += 2
+                        continue
+                    break
+                ent.append(byte)
+                i += 1
+            entropy = bytes(ent)
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if h < 0 or entropy is None:
+        raise ValueError("jpeg: missing SOF0 or SOS")
+    if comp_q not in qtables or comp_dc not in dc_luts or comp_ac not in ac_luts:
+        raise ValueError("jpeg: missing quant/huffman table for scan")
+    q = qtables[comp_q]
+    dsym, dlen = dc_luts[comp_dc]
+    asym, alen = ac_luts[comp_ac]
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    zz = np.zeros((bh * bw, 64), np.int64)
+    r = _BitReader(entropy)
+    prev_dc = 0
+    for bi in range(bh * bw):
+        p = r.peek16()
+        cat, ln = int(dsym[p]), int(dlen[p])
+        if ln == 0:
+            raise ValueError("jpeg: bad DC huffman code")
+        r.read(ln)
+        diff = r.read(cat)
+        if cat and diff < (1 << (cat - 1)):
+            diff -= (1 << cat) - 1
+        prev_dc += diff
+        zz[bi, 0] = prev_dc
+        k = 1
+        while k < 64:
+            p = r.peek16()
+            rs, ln = int(asym[p]), int(alen[p])
+            if ln == 0:
+                raise ValueError("jpeg: bad AC huffman code")
+            r.read(ln)
+            if rs == 0x00:                      # EOB
+                break
+            if rs == 0xF0:                      # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            cat = rs & 0xF
+            if k > 63:
+                raise ValueError("jpeg: AC run past block end")
+            v = r.read(cat)
+            if v < (1 << (cat - 1)):
+                v -= (1 << cat) - 1
+            zz[bi, k] = v
+            k += 1
+
+    coef = np.zeros((bh * bw, 64), np.int64)
+    coef[:, ZIGZAG] = zz
+    coef = coef.reshape(bh, bw, 8, 8) * q
+    pix = np.einsum("ji,abjk,kl->abil", _DCT, coef.astype(np.float64), _DCT)
+    pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+    out = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return out[:h, :w].copy()

@@ -10,11 +10,12 @@ codecs keep everything testable without image libraries:
            → PSNR ≈ 46 dB, satisfying the ≥40 dB lossy invariant.
 - ``png``  REAL spec-conformant PNG, pure stdlib (zlib + all 5 scanline
            filters, CRC-verified) — see operators/png.py. Lossless.
+- ``jpeg`` REAL baseline JFIF (8x8 DCT + Annex K quant + canonical huffman,
+           pure numpy from the public T.81 spec) — see operators/jpeg.py.
+           Lossy; the default quality 95 keeps the re-encode roundtrip
+           above the 40 dB invariant even on noise images.
 
-Only JPEG decode remains STUBBED behind NotImplementedError (a DCT/huffman
-implementation is out of scope; no image library in this container) — the
-Spark-side plumbing (binary column → numpy batch → stats columns) is real
-and tested for all three live codecs.
+All four codecs are live — nothing in the raster path is stubbed.
 
 All kernels are batch-vectorized (numpy over Arrow record batches via
 mapInPandas) — no per-row Python beyond the unavoidable per-image reshape.
@@ -31,7 +32,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 LOSSLESS_FMTS = {"raw", "png"}
-LOSSY_FMTS = {"q6"}
+LOSSY_FMTS = {"q6", "jpeg"}
+
+#: re-encode quality for the jpeg roundtrip/verify path (≥40 dB on all
+#: tested content classes incl. uniform noise — see tests/test_jpeg.py)
+JPEG_QUALITY = 95
 
 
 def encode_image(img: np.ndarray, fmt: str) -> bytes:
@@ -44,9 +49,8 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         from .png import encode_png
         return encode_png(img)
     if fmt == "jpeg":
-        raise NotImplementedError(
-            "STUB: real 'jpeg' encode requires an image library not present "
-            "in this container; use 'raw', 'png' or 'q6'.")
+        from .jpeg import encode_jpeg
+        return encode_jpeg(img, quality=JPEG_QUALITY)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -64,9 +68,11 @@ def decode_image(b: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             raise ValueError(f"PNG header {img.shape} != metadata {(h, w)}")
         return img
     if fmt == "jpeg":
-        raise NotImplementedError(
-            "STUB: real 'jpeg' decode requires an image library not present "
-            "in this container.")
+        from .jpeg import decode_jpeg
+        img = decode_jpeg(b)
+        if img.shape != (h, w):
+            raise ValueError(f"JPEG header {img.shape} != metadata {(h, w)}")
+        return img
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

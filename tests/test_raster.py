@@ -26,14 +26,16 @@ def test_q6_psnr_above_40():
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
 
 
-def test_jpeg_is_stubbed_png_is_real():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"", 1, 1, "jpeg")
-    with pytest.raises(NotImplementedError):
-        encode_image(np.zeros((2, 2), np.uint8), "jpeg")
+def test_jpeg_and_png_dispatch_are_real():
     img = np.arange(4, dtype=np.uint8).reshape(2, 2)
     assert np.array_equal(
         decode_image(encode_image(img, "png"), 2, 2, "png"), img)
+    rng = np.random.default_rng(4)
+    big = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    dec = decode_image(encode_image(big, "jpeg"), 16, 16, "jpeg")
+    assert psnr(big, dec) >= 40.0
+    with pytest.raises(ValueError, match="metadata"):
+        decode_image(encode_image(big, "jpeg"), 8, 8, "jpeg")
 
 
 def test_resize_nearest():
