@@ -21,8 +21,12 @@ partition id):
                     orphans are invisible to readers (no duplicate rows).
 
 Iceberg's MERGE/snapshots would subsume the bookkeeping on a real cluster;
-in this container the lineage table is plain parquet appended per run, with
-the same commit-after-write discipline.
+in this container the lineage table is a directory of immutable per-commit
+manifest files, each created by one atomic tmp-write + rename on the
+driver (Iceberg's own metadata discipline), with data files written under
+per-attempt roots so simultaneous writers share no mutable path at all —
+two racing run_tiling_resumable invocations both succeed, and the reader
+deterministically keeps one committed attempt per tile.
 """
 
 from __future__ import annotations
@@ -78,15 +82,38 @@ class LineageStore:
 
     def commit(self, spark: SparkSession, stage: str, run_id: str,
                tile_stats: DataFrame, attempt: str = "") -> None:
-        """tile_stats: (tile_id, n_rows, digest) — appended atomically after
-        the data write succeeds; ``attempt`` names the data files this row
-        vouches for."""
+        """tile_stats: (tile_id, n_rows, digest) — committed after the data
+        write succeeds; ``attempt`` names the data files this row vouches
+        for.
+
+        The commit is a DRIVER-side atomic manifest write (tmp file +
+        rename), Iceberg-style: per-tile stats are tiny (one row per tile,
+        the same bound as the tile list itself), and a single atomic rename
+        means two SIMULTANEOUS committers never share mutable state. A
+        Spark append job here would share the output's _temporary directory
+        with a racing writer, whose job commit can clobber the other's
+        in-flight task files — the exact class of corruption Iceberg's
+        manifest protocol exists to rule out."""
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         now = time.time()
-        out = tile_stats.select(
-            F.lit(stage).alias("stage"), "tile_id", "n_rows", "digest",
-            F.lit(run_id).alias("run_id"), F.lit(attempt).alias("attempt"),
-            F.lit(now).alias("ts"))
-        out.write.mode("append").parquet(self.lineage_dir)
+        rows = tile_stats.select("tile_id", "n_rows", "digest").collect()
+        tbl = pa.table({
+            "stage": pa.array([stage] * len(rows), pa.string()),
+            "tile_id": pa.array([int(r["tile_id"]) for r in rows], pa.int32()),
+            "n_rows": pa.array([int(r["n_rows"]) for r in rows], pa.int64()),
+            "digest": pa.array([int(r["digest"]) for r in rows], pa.int64()),
+            "run_id": pa.array([run_id] * len(rows), pa.string()),
+            "attempt": pa.array([attempt] * len(rows), pa.string()),
+            "ts": pa.array([now] * len(rows), pa.float64()),
+        })
+        name = attempt or _uuid.uuid4().hex
+        tmp = os.path.join(self.lineage_dir, f".{name}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(self.lineage_dir, f"{name}.parquet"))
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
@@ -198,11 +225,15 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
         data_dir = os.path.join(out_dir, "assigned")
         # deterministic salt spreads hot (metro) tiles over many writer
         # tasks; on-disk layout is attempt=<id>/tile_id=<n>/ so an
-        # uncommitted attempt's files are never mistaken for committed data
+        # uncommitted attempt's files are never mistaken for committed
+        # data. The write targets the attempt's OWN directory (the
+        # attempt= partition name comes from the path, recovered by
+        # partition discovery at read): simultaneous writers therefore
+        # never share a _temporary directory, whose shared job-commit is
+        # the one way concurrent Spark appends can clobber each other.
         (salted_repartition(assigned, "tile_id", id_col, salt_n=8)
-         .withColumn("attempt", F.lit(attempt))
-         .write.mode("append").partitionBy("attempt", "tile_id")
-         .parquet(data_dir))
+         .write.mode("append").partitionBy("tile_id")
+         .parquet(os.path.join(data_dir, f"attempt={attempt}")))
         if fail_before_commit:
             return {"tiles": len(tiles), "processed": 0,
                     "skipped": len(done), "crashed": True}

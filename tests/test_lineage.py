@@ -153,3 +153,79 @@ def test_crash_between_write_and_commit_no_duplicates(spark, points, tmp_path):
     a = sorted(map(tuple, _read_assigned(spark, d).collect()))
     b = sorted(map(tuple, _read_assigned(spark, d_clean).collect()))
     assert a == b  # no duplicated rows from the orphaned attempt
+
+
+def test_simultaneous_writers_reader_never_double_counts(spark, points,
+                                                         tmp_path):
+    """VERDICT r2 #7: two SIMULTANEOUS run_tiling_resumable invocations on
+    the same output directory (both racing past completed()) — both must
+    succeed, exactly one committed attempt must win per tile, and
+    read_committed_assigned must equal a single-shot run exactly."""
+    import threading
+
+    d = str(tmp_path / "conc")
+    d_ref = str(tmp_path / "conc_ref")
+    run_tiling_resumable(points, d_ref, max_nodes=300, run_id="ref")
+    expected = sorted(map(tuple, _read_assigned(spark, d_ref).collect()))
+
+    results, errors = {}, {}
+
+    def writer(name):
+        try:
+            results[name] = run_tiling_resumable(
+                points, d, max_nodes=300, run_id=name)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = e
+
+    threads = [threading.Thread(target=writer, args=(n,))
+               for n in ("wA", "wB")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    # the reader resolves the race: identical to the single-shot output,
+    # every tile counted exactly once no matter how many attempts committed
+    got = sorted(map(tuple, _read_assigned(spark, d).collect()))
+    assert got == expected
+
+    # exactly one winning attempt per tile in the reader's selection
+    from osm2garmin_spark.pipeline.lineage import read_committed_assigned
+    per_tile = (read_committed_assigned(spark, d)
+                .groupBy("tile_id").count().collect())
+    ref_counts = {r["tile_id"]: r["count"] for r in (
+        _read_assigned(spark, d_ref).groupBy("tile_id").count().collect())}
+    assert {r["tile_id"]: r["count"] for r in per_tile} == ref_counts
+
+    # both commits survive as snapshots (dead files, never dup rows)
+    store = LineageStore(d)
+    lin = store.read(spark).filter("stage = 'assign'")
+    n_attempts = lin.select("attempt").distinct().count()
+    assert n_attempts >= 1  # >=2 when both raced past completed()
+
+
+def test_interleaved_partial_writers(spark, points, tmp_path):
+    """Writer A commits a prefix of tiles and dies; two simultaneous
+    resumers race to finish. The union must still be exact."""
+    import threading
+
+    d = str(tmp_path / "inter")
+    d_ref = str(tmp_path / "inter_ref")
+    run_tiling_resumable(points, d_ref, max_nodes=300, run_id="ref")
+    expected = sorted(map(tuple, _read_assigned(spark, d_ref).collect()))
+
+    r0 = run_tiling_resumable(points, d, max_nodes=300, run_id="w0",
+                              fail_after_tiles=2)
+    assert r0["processed"] == 2
+
+    threads = [threading.Thread(
+        target=run_tiling_resumable, args=(points, d),
+        kwargs=dict(max_nodes=300, run_id=n)) for n in ("w1", "w2")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    got = sorted(map(tuple, _read_assigned(spark, d).collect()))
+    assert got == expected
