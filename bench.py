@@ -93,6 +93,61 @@ def main():
         extra["tile_assignments_per_sec"] = round(
             extra["tile_assignments"] / timings["tiling_pipeline_2m_images"], 1)
 
+    # ---- grid-kNN at scale: neighbors >> SMALL_NEIGHBORS forces the
+    # cell-join + iterative-escalation path (never the broadcast numpy
+    # dispatch) — the engine's flagship both-sides-large join
+    def knn_grid_bench():
+        import logging
+        from pyspark.sql import functions as F
+        from osm2garmin_spark.expressions import derived_lat, derived_lon
+        from osm2garmin_spark.operators.knn import knn_grid
+
+        msgs: list[str] = []
+
+        class _Cap(logging.Handler):
+            def emit(self, r):
+                msgs.append(r.getMessage())
+
+        knn_log = logging.getLogger("osm2garmin_spark.operators.knn")
+        cap = _Cap()
+        knn_log.addHandler(cap)
+        old_level = knn_log.level
+        knn_log.setLevel(logging.INFO)
+        try:
+            neigh = spark.range(0, 600_000).select(
+                F.col("id").alias("n_id"),
+                derived_lat(F.col("id")).alias("n_lat"),
+                derived_lon(F.col("id")).alias("n_lon"))
+            qpts = spark.range(600_000, 700_000).select(
+                F.col("id").alias("q_id"),
+                derived_lat(F.col("id")).alias("q_lat"),
+                derived_lon(F.col("id")).alias("q_lon"))
+            # explicit cell (slightly under the auto-tuned ~0.85°) forces
+            # the documented explicit-grid path AND a non-empty iterative
+            # escalation level — the code path VERDICT r2 #1 made lazy
+            out = knn_grid(qpts, neigh, k=3, cell_deg=0.4)
+            extra["knn_grid_rows"] = out.count()
+        finally:
+            knn_log.removeHandler(cap)
+            knn_log.setLevel(old_level)
+        # escalated fraction: the level-1 log line carries the level-0
+        # escalated count ("resolved R of E, Z escalate")
+        import re as _re
+        esc = 0
+        for m in msgs:
+            g = _re.search(r"resolved \d+ of (\d+)", m)
+            if g:
+                esc = int(g.group(1))
+                break
+            g = _re.search(r"\(covers extent\), (\d+) queries", m)
+            if g:
+                esc = int(g.group(1))
+                break
+        extra["knn_grid_escalated"] = esc
+        extra["knn_grid_escalated_frac"] = round(esc / 100_000, 5)
+
+    timed("knn_grid_600k_neighbors", knn_grid_bench)
+
     # ---- headline sf-dir queries -----------------------------------------
     qs = Q.queries()
     headline = ["q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
