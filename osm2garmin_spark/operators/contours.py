@@ -179,15 +179,26 @@ def adaptive_interval(extent: float,
 
 
 def extract_contours(images: DataFrame, step: float | None = None,
-                     valid_range: tuple | None = None) -> DataFrame:
+                     valid_range: tuple | None = None,
+                     window: int | None = None) -> DataFrame:
     """Per-image contour extraction: decode bytes → elevation grid (uint8) →
     marching squares at the reference level series. One output row per
     polyline fragment. All heavy work in Arrow batches on executors.
 
-    step=None (default) selects the interval adaptively from each image's
-    own relief extent (adaptive_interval — Srtm2Osm.java:125-138; the
-    reference's adaptivity unit is the 120×120 subtile, ours the image);
-    an explicit step pins a fixed interval.
+    step=None (default) selects the interval adaptively from local relief
+    extent (adaptive_interval — Srtm2Osm.java:125-138); an explicit step
+    pins a fixed interval.
+
+    window=None treats the whole image as one adaptivity unit. window=N
+    reproduces the reference's subtile discipline exactly: the grid is
+    processed as windows of N SAMPLES per axis whose neighbors SHARE their
+    boundary row/column (Srtm2Osm.java:108-151 — a 1201-sample SRTM tile
+    with window=121 is the reference's own 10×10 layout), each window gets
+    its OWN relief extent, interval ladder and level series, and fragments
+    are emitted in whole-image coordinates so the standard endpoint stitch
+    joins same-level fragments across window seams. Windows with different
+    local relief genuinely carry different intervals — the semantics round
+    2 only applied per image.
 
     valid_range=(lo, hi): samples outside the CLOSED range are void
     (reference sentinel semantics, |dd| ≥ 10000 → 32768 nodata): they are
@@ -203,23 +214,34 @@ def extract_contours(images: DataFrame, step: float | None = None,
                 if valid_range is not None:
                     lo, hi = valid_range
                     grid[(grid < lo) | (grid > hi)] = np.nan
-                finite = grid[np.isfinite(grid)]
-                if finite.size == 0:
-                    continue
-                zmin, zmax = float(finite.min()), float(finite.max())
-                iv = adaptive_interval(zmax - zmin) if step is None else step
-                levels = contour_levels(zmin, zmax, iv)
+                gh, gw = grid.shape
+                if window is None or window >= max(gh, gw):
+                    origins = [(0, 0, grid)]
+                else:
+                    stepn = max(window - 1, 1)
+                    origins = [(x0, y0, grid[y0:y0 + window, x0:x0 + window])
+                               for y0 in range(0, max(gh - 1, 1), stepn)
+                               for x0 in range(0, max(gw - 1, 1), stepn)]
                 fid = 0
-                for lv in levels:
-                    for line in marching_squares(grid, float(lv)):
-                        out["image_id"].append(iid)
-                        out["level"].append(float(lv))
-                        out["frag_id"].append(fid)
-                        out["xs"].append(line[:, 0].tolist())
-                        out["ys"].append(line[:, 1].tolist())
-                        out["closed"].append(
-                            bool(np.all(line[0] == line[-1]) and len(line) > 2))
-                        fid += 1
+                for x0, y0, sub in origins:
+                    finite = sub[np.isfinite(sub)]
+                    if finite.size == 0:
+                        continue
+                    zmin, zmax = float(finite.min()), float(finite.max())
+                    iv = adaptive_interval(zmax - zmin) if step is None \
+                        else step
+                    levels = contour_levels(zmin, zmax, iv)
+                    for lv in levels:
+                        for line in marching_squares(sub, float(lv)):
+                            out["image_id"].append(iid)
+                            out["level"].append(float(lv))
+                            out["frag_id"].append(fid)
+                            out["xs"].append((line[:, 0] + x0).tolist())
+                            out["ys"].append((line[:, 1] + y0).tolist())
+                            out["closed"].append(
+                                bool(np.all(line[0] == line[-1])
+                                     and len(line) > 2))
+                            fid += 1
             if out["image_id"]:     # empty frame breaks Arrow list inference
                 yield pd.DataFrame(out)
 

@@ -335,3 +335,85 @@ def test_stitch_mosaic_multi_partitioned(spark):
     got_b = keyset([r for r in got if r["image_id"] == "mB"])
     assert got_a == keyset(run_single("A_"))
     assert got_b == keyset(run_single("B_"))
+
+
+def _img_df(spark, grids):
+    """rows of (image_id, raw bytes, w, h) for uint8 grids"""
+    rows = [(iid, g.astype(np.uint8).tobytes(), g.shape[1], g.shape[0], "raw")
+            for iid, g in grids]
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+
+
+def _keysets(rows_):
+    """{(image_id, level): sorted set-of-pointsets} for stitched contours.
+    Closed rings drop their duplicated closing vertex first — which vertex
+    a ring starts at (and therefore repeats) is representation, not
+    geometry."""
+    out = {}
+    for r in rows_:
+        k = (r["image_id"], r["level"])
+        xs, ys = r["xs"], r["ys"]
+        if r["closed"] and xs[0] == xs[-1] and ys[0] == ys[-1]:
+            xs, ys = xs[:-1], ys[:-1]
+        pts = tuple(sorted(zip(np.round(xs, 9), np.round(ys, 9))))
+        out.setdefault(k, []).append(pts)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_windowed_extraction_stitches_to_whole_image(spark):
+    """window=N with a FIXED step must reproduce the unwindowed contours
+    exactly once seam fragments are stitched (shared boundary row/col ⇒
+    seam crossings coincide; the reference's Srtm2Osm.java:108-151 subtile
+    overlap discipline)."""
+    from osm2garmin_spark.operators.contours import (extract_contours,
+                                                     stitch_contours)
+
+    rng = np.random.default_rng(31)
+    grid = rng.integers(40, 200, (33, 33)).astype(np.uint8)
+    # keep samples OFF the contour levels: an on-node crossing is a
+    # degenerate 4-way endpoint whose regrouping is topology-ambiguous
+    # (the unwindowed saddle rule and the stitch's hash-priority matching
+    # may legally partition it differently)
+    grid[grid % 50 == 0] += 1
+
+    whole = stitch_contours(
+        extract_contours(_img_df(spark, [("g", grid)]), step=50.0)).collect()
+    windowed = stitch_contours(
+        extract_contours(_img_df(spark, [("g", grid)]), step=50.0,
+                         window=17)).collect()
+    assert _keysets(windowed) == _keysets(whole)
+
+
+def test_windowed_adaptivity_differs_per_window(spark):
+    """The reference's missing semantics from round 2: a raster with flat
+    and steep halves gets a FINER ladder interval in the flat window and
+    the standard interval in the steep one (per-window adaptive_interval,
+    not one interval for the whole image)."""
+    from osm2garmin_spark.operators.contours import (extract_contours,
+                                                     adaptive_interval)
+
+    # 17 columns; the SHARED boundary column 8 belongs to both windows, so
+    # both regimes must agree there: left cols 0..8 ramp 100..104 (flat,
+    # extent 4 -> ladder 1.0); right cols 8..16 ramp 104..248 (steep,
+    # extent 144 -> standard 25 m interval)
+    grid = np.zeros((9, 17))
+    grid[:, :9] = 100 + np.arange(9)[None, :] * 0.5
+    grid[:, 8:] = 104 + np.arange(9)[None, :] * 18
+    grid = grid.astype(np.uint8)
+
+    frags = extract_contours(_img_df(spark, [("g", grid)]),
+                             window=9).collect()
+    # strict: a contour exactly on the shared boundary column (level 104
+    # runs along x=8) belongs to neither side's regime
+    left_levels = {r["level"] for r in frags if max(r["xs"]) < 8.0}
+    right_levels = {r["level"] for r in frags if min(r["xs"]) > 8.0}
+    # flat window: integer-spaced levels from the 1.0/2.0 ladder
+    assert left_levels and all(lv % 1.0 == 0 and lv <= 104 for lv in left_levels)
+    assert any(lv % 25.0 != 0 for lv in left_levels)
+    # steep window: the standard 25 m series only
+    assert right_levels and all(lv % 25.0 == 0 for lv in right_levels)
+    # and the whole-image (unwindowed) run would have fused everything
+    # into ONE 25 m interval — the round-2 behavior this fixes
+    whole_iv = adaptive_interval(float(grid.max()) - float(grid.min()))
+    assert whole_iv == 25.0
