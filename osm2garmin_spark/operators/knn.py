@@ -157,11 +157,13 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
              max_levels: int = 48) -> DataFrame:
     """Grid-accelerated exact kNN → (q_id, n_id, rnk).
 
-    Level 0: neighbors explode to their cell's 3×3 neighborhood; equi-join
-    on the query's cell; per-query top-k window. Queries not *provably*
-    complete (fewer than k candidates, or k-th distance reaching the
-    guaranteed-covered radius = one cell width beyond the query's own cell
-    edge) escalate.
+    Level 0: queries explode to their cell's 3×3 ring; equi-join on the
+    neighbor's own cell (the ring relation is symmetric, and the grid path
+    only runs when the NEIGHBOR side is the big one — so the 9× explode
+    always lands on the smaller side); per-query top-k window. Queries not
+    *provably* complete (fewer than k candidates, or k-th distance
+    reaching the guaranteed-covered radius = one cell width beyond the
+    query's own cell edge) escalate.
 
     Level j ≥ 1: cell size doubles (cell·2^j); ONLY the escalated queries
     (few, by construction) explode to the new 3×3 ring and join neighbors
@@ -211,35 +213,43 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
     cell = F.lit(cell0)
     goods = []
 
-    # ---- level 0: neighbors ×9, queries join on their own cell ----------
+    # ---- level 0: QUERIES ×9, neighbors join on their own cell ----------
+    # the query side explodes to its 3×3 ring and the neighbor side is
+    # keyed by its single cell — same candidate set as exploding the
+    # neighbors (q's ring contains n ⟺ n's ring contains q), but the
+    # exploded volume is 9·|queries| instead of 9·|neighbors|, and the
+    # grid path only runs when neighbors > SMALL_NEIGHBORS, i.e. when the
+    # neighbor side is the big one. Matches the escalation levels' shape.
     # qc feeds the candidate join and the escalation input; checkpoint so
     # the caller's (possibly expensive) coordinate expressions evaluate
     # once AND the level loop starts from a flat plan
     qc = queries.select(
         q_id, q_lat, q_lon,
-        F.floor(F.col(q_lat) / cell).alias("_cx"),
-        F.floor(F.col(q_lon) / cell).alias("_cy"),
+        F.floor(F.col(q_lat) / cell).alias("_qx"),
+        F.floor(F.col(q_lon) / cell).alias("_qy"),
     ).localCheckpoint(eager=True)
     offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
-    nc = (neighbors.select(
-            n_id, n_lat, n_lon,
-            F.floor(F.col(n_lat) / cell).alias("_nx"),
-            F.floor(F.col(n_lon) / cell).alias("_ny"),
-            F.explode(offs).alias("_o"))
-          .select(n_id, n_lat, n_lon,
-                  (F.col("_nx") + F.col("_o.dx")).alias("_cx"),
-                  (F.col("_ny") + F.col("_o.dy")).alias("_cy")))
+    q_exp0 = (qc.select(
+                q_id, q_lat, q_lon, "_qx", "_qy",
+                F.explode(offs).alias("_o"))
+              .select(q_id, q_lat, q_lon, "_qx", "_qy",
+                      (F.col("_qx") + F.col("_o.dx")).alias("_cx"),
+                      (F.col("_qy") + F.col("_o.dy")).alias("_cy")))
+    nc = neighbors.select(
+        n_id, n_lat, n_lon,
+        F.floor(F.col(n_lat) / cell).alias("_cx"),
+        F.floor(F.col(n_lon) / cell).alias("_cy"))
 
     d2 = _dist2(F.col(q_lat), F.col(q_lon), F.col(n_lat), F.col(n_lon))
     w = Window.partitionBy(q_id).orderBy(F.col("_d2").asc(), F.col(n_id).asc())
     # guaranteed-covered radius: one cell width beyond the query's own cell
     # edge → tight per-query bound = min in-cell border distance + cell
-    in_cell_lat = F.col(q_lat) - F.col("_cx") * cell
-    in_cell_lon = F.col(q_lon) - F.col("_cy") * cell
+    in_cell_lat = F.col(q_lat) - F.col("_qx") * cell
+    in_cell_lon = F.col(q_lon) - F.col("_qy") * cell
     margin = F.least(in_cell_lat, cell - in_cell_lat,
                      in_cell_lon, cell - in_cell_lon) + cell
-    topk = (qc.join(nc, ["_cx", "_cy"], "inner")
+    topk = (q_exp0.join(nc, ["_cx", "_cy"], "inner")
             .withColumn("_d2", d2)
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)

@@ -1061,6 +1061,55 @@ def minhash_candidates(spark, sf_dir):
     return out.select("doc_a", "doc_b")
 
 
+def _minhash_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    """Exact DuckDB twin of minhash_candidates: the engine's content
+    hashing is explicit integer arithmetic (functions/dedup.py — char-fold
+    polynomial hash mod FP_MOD, fixed linear permutations mod 2^31-1, NOT
+    an engine-private hash), so the whole banded-LSH candidate structure
+    is SQL-reproducible. Coefficients derive from the same formulas as
+    minhash_signatures."""
+    from .functions.dedup import MH_PRIME
+    from .functions.text import FP_BASE, FP_MOD
+
+    a = [(2 * i + 1) * 40503 + 1 for i in range(num_hashes)]
+    b = [(i * 2654435761 + 17) % MH_PRIME for i in range(num_hashes)]
+    mins = ",\n    ".join(
+        f"MIN((h * {a[i]} + {b[i]}) % {MH_PRIME}) AS s{i}"
+        for i in range(num_hashes))
+    rpb = num_hashes // bands
+    band_keys = ", ".join(
+        "'{}_' || ".format(bi)
+        + " || '_' || ".join(f"CAST(s{bi * rpb + j} AS VARCHAR)"
+                             for j in range(rpb))
+        for bi in range(bands))
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+words AS (
+  SELECT DISTINCT doc_id AS id, w
+  FROM docs, UNNEST(string_split(text, ' ')) AS t(w)
+),
+hashed AS (
+  SELECT id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(regexp_split_to_array(w, ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+      (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}) % {MH_PRIME} AS h
+  FROM words
+),
+sigs AS (
+  SELECT id,
+    {mins}
+  FROM hashed GROUP BY id
+),
+buckets AS (
+  SELECT id, bk FROM sigs, UNNEST([{band_keys}]) AS u(bk)
+)
+SELECT DISTINCT l.id AS doc_a, r.id AS doc_b
+FROM buckets l JOIN buckets r ON l.bk = r.bk AND l.id < r.id
+"""
+
+
 def ann_lsh_top3(spark, sf_dir):
     """LSH-bucketed approximate top-3 (compare with embed_top3 for recall)."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -1366,8 +1415,10 @@ def oracle_sql() -> Dict[str, str]:
         "image_decode_stats": _IMG_STATS_SQL,
         "video_frame_stats": _VIDEO_STATS_SQL,
         "audio_window_features": _AUDIO_FEATURES_SQL,
-        # minhash_candidates / ann_lsh_top3 / ann_ivf_top3: genuinely
-        # non-SQL-expressible (LSH bucket structure / IVF centroids) →
-        # rows-only check; their recall is pinned against the exact twins
-        # (embed_top3, embed_near_pairs_exact) in tests/test_similarity.py
+        "minhash_candidates": _minhash_sql(),
+        # ann_lsh_top3 / ann_ivf_top3: genuinely non-SQL-expressible (the
+        # random-hyperplane tables / trained IVF centroids are not
+        # arithmetic the oracle can rederive) → rows-only check; recall is
+        # pinned against the exact twins (embed_top3,
+        # embed_near_pairs_exact) in tests/test_functions.py
     }
