@@ -47,6 +47,11 @@ LINEAGE_SCHEMA = ("stage string, tile_id int, n_rows long, digest long, "
                   "run_id string, attempt string, ts double")
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed one of this attempt's tiles first
+    (optimistic-concurrency conflict, detected at write time)."""
+
+
 class LineageStore:
     def __init__(self, root: str):
         self.root = root
@@ -80,40 +85,113 @@ class LineageStore:
         rows = df.filter(F.col("stage") == stage).select("tile_id").distinct().collect()
         return {r["tile_id"] for r in rows}
 
+    def _committed_tiles_fs(self, stage: str) -> Set[int]:
+        """Driver-side scan of every committed manifest (pyarrow, zero
+        Spark jobs) — the optimistic-concurrency read set."""
+        import pyarrow.parquet as pq
+
+        out: Set[int] = set()
+        for f in os.listdir(self.lineage_dir):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(self.lineage_dir, f),
+                              columns=["stage", "tile_id"])
+            for s, i in zip(t.column("stage").to_pylist(),
+                            t.column("tile_id").to_pylist()):
+                if s == stage:
+                    out.add(int(i))
+        return out
+
+    def _max_seq(self) -> int:
+        mx = 0
+        for f in os.listdir(self.lineage_dir):
+            if f.endswith(".parquet") and f.startswith("m") and "-" in f:
+                try:
+                    mx = max(mx, int(f[1:9]))
+                except ValueError:
+                    pass
+        return mx
+
     def commit(self, spark: SparkSession, stage: str, run_id: str,
-               tile_stats: DataFrame, attempt: str = "") -> None:
+               tile_stats: DataFrame, attempt: str = "",
+               detect_conflicts: bool = False,
+               on_conflict: str = "drop") -> Set[int]:
         """tile_stats: (tile_id, n_rows, digest) — committed after the data
         write succeeds; ``attempt`` names the data files this row vouches
-        for.
+        for. Returns the set of tile_ids actually committed.
 
-        The commit is a DRIVER-side atomic manifest write (tmp file +
-        rename), Iceberg-style: per-tile stats are tiny (one row per tile,
-        the same bound as the tile list itself), and a single atomic rename
-        means two SIMULTANEOUS committers never share mutable state. A
-        Spark append job here would share the output's _temporary directory
-        with a racing writer, whose job commit can clobber the other's
-        in-flight task files — the exact class of corruption Iceberg's
-        manifest protocol exists to rule out."""
+        The commit is a DRIVER-side atomic manifest write, Iceberg-style:
+        per-tile stats are tiny (one row per tile, the same bound as the
+        tile list itself) and each commit is one immutable file — a Spark
+        append job here would share the output's _temporary directory with
+        a racing writer, whose job commit can clobber the other's
+        in-flight task files, the exact corruption class Iceberg's
+        manifest protocol rules out.
+
+        Manifests are claimed in a TOTAL ORDER: the file name carries a
+        sequence number and the claim is an atomic hard-link creation
+        (``os.link`` fails if the target exists — the filesystem CAS that
+        stands in for Iceberg's catalog-pointer swap). A committer may
+        only claim seq s after observing s-1, so by induction every
+        committed manifest's pre-commit read covered ALL earlier commits
+        — no check-then-commit window.
+
+        ``detect_conflicts=True`` adds Iceberg-grade write-time conflict
+        DETECTION on top of that order: before each claim attempt the
+        committer re-reads every committed manifest and compares tile
+        sets. ``on_conflict='drop'`` commits only the tiles no racer beat
+        us to (our files for lost tiles become dead files, same end state
+        as read-time winner resolution but detected and recorded at write
+        time); ``'error'`` raises CommitConflict."""
         import uuid as _uuid
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        now = time.time()
-        rows = tile_stats.select("tile_id", "n_rows", "digest").collect()
-        tbl = pa.table({
-            "stage": pa.array([stage] * len(rows), pa.string()),
-            "tile_id": pa.array([int(r["tile_id"]) for r in rows], pa.int32()),
-            "n_rows": pa.array([int(r["n_rows"]) for r in rows], pa.int64()),
-            "digest": pa.array([int(r["digest"]) for r in rows], pa.int64()),
-            "run_id": pa.array([run_id] * len(rows), pa.string()),
-            "attempt": pa.array([attempt] * len(rows), pa.string()),
-            "ts": pa.array([now] * len(rows), pa.float64()),
-        })
+        rows = [(int(r["tile_id"]), int(r["n_rows"]), int(r["digest"]))
+                for r in tile_stats.select("tile_id", "n_rows",
+                                           "digest").collect()]
         name = attempt or _uuid.uuid4().hex
         tmp = os.path.join(self.lineage_dir, f".{name}.tmp")
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(self.lineage_dir, f"{name}.parquet"))
+        while True:
+            if detect_conflicts:
+                taken = self._committed_tiles_fs(stage)
+                lost = {t for t, _, _ in rows} & taken
+                if lost:
+                    if on_conflict == "error":
+                        raise CommitConflict(
+                            f"tiles {sorted(lost)} already committed for "
+                            f"stage {stage!r} by another writer")
+                    rows = [r for r in rows if r[0] not in lost]
+                    if not rows:
+                        return set()
+            now = time.time()
+            tbl = pa.table({
+                "stage": pa.array([stage] * len(rows), pa.string()),
+                "tile_id": pa.array([r[0] for r in rows], pa.int32()),
+                "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+                "digest": pa.array([r[2] for r in rows], pa.int64()),
+                "run_id": pa.array([run_id] * len(rows), pa.string()),
+                "attempt": pa.array([attempt] * len(rows), pa.string()),
+                "ts": pa.array([now] * len(rows), pa.float64()),
+            })
+            pq.write_table(tbl, tmp)
+            seq = self._max_seq() + 1
+            final = os.path.join(self.lineage_dir,
+                                 f"m{seq:08d}-{name}.parquet")
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                continue        # a racer claimed this seq — rescan, retry
+            except OSError:
+                # filesystem without hard links: atomic rename still gives
+                # immutable per-commit files, but the claim is last-writer
+                # -wins rather than CAS (seq collisions overwrite) — the
+                # reader's winner resolution remains the safety net there
+                os.replace(tmp, final)
+                return {r[0] for r in rows}
+            os.unlink(tmp)
+            return {r[0] for r in rows}
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
@@ -238,8 +316,16 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
             return {"tiles": len(tiles), "processed": 0,
                     "skipped": len(done), "crashed": True}
         stats = tile_digests(assigned, id_col)
-        store.commit(spark, "assign", run_id, stats, attempt=attempt)
+        # optimistic concurrency: a racer that committed any of our tiles
+        # since completed() wins them; our files for those tiles become
+        # dead files and we vouch only for the rest
+        committed = store.commit(spark, "assign", run_id, stats,
+                                 attempt=attempt, detect_conflicts=True)
         processed = len(pending)
+        lost = processed - len(committed)
+        if lost:
+            return {"tiles": len(tiles), "processed": len(committed),
+                    "skipped": len(done), "conflict_dropped": lost}
 
     return {"tiles": len(tiles), "processed": processed,
             "skipped": len(tiles) - len(pending) if fail_after_tiles < 0 else len(done)}

@@ -198,11 +198,16 @@ def test_simultaneous_writers_reader_never_double_counts(spark, points,
         _read_assigned(spark, d_ref).groupBy("tile_id").count().collect())}
     assert {r["tile_id"]: r["count"] for r in per_tile} == ref_counts
 
-    # both commits survive as snapshots (dead files, never dup rows)
+    # write-time conflict DETECTION (not just read-time resolution): the
+    # sequence-claimed manifests guarantee each tile is vouched for by
+    # exactly ONE committed lineage row, and the two writers' processed
+    # counts account for every tile exactly once
     store = LineageStore(d)
     lin = store.read(spark).filter("stage = 'assign'")
-    n_attempts = lin.select("attempt").distinct().count()
-    assert n_attempts >= 1  # >=2 when both raced past completed()
+    per_tile_rows = lin.groupBy("tile_id").count().collect()
+    assert per_tile_rows and all(r["count"] == 1 for r in per_tile_rows)
+    n_tiles = len(per_tile_rows)
+    assert sum(r.get("processed", 0) for r in results.values()) == n_tiles
 
 
 def test_interleaved_partial_writers(spark, points, tmp_path):
@@ -229,3 +234,24 @@ def test_interleaved_partial_writers(spark, points, tmp_path):
 
     got = sorted(map(tuple, _read_assigned(spark, d).collect()))
     assert got == expected
+
+
+def test_commit_conflict_error_mode(spark, points, tmp_path):
+    """on_conflict='error' raises CommitConflict instead of dropping."""
+    from osm2garmin_spark.pipeline.lineage import (CommitConflict,
+                                                   tile_digests)
+    from osm2garmin_spark.operators.tile_join import assign_points_to_tiles
+
+    d = str(tmp_path / "conflict_err")
+    run_tiling_resumable(points, d, max_nodes=300, run_id="first")
+    store = LineageStore(d)
+    tiles = store.load_tiles()
+    assigned = assign_points_to_tiles(points, tiles, 2000, "lat", "lon")
+    stats = tile_digests(assigned, "event_id")
+    with pytest.raises(CommitConflict, match="already committed"):
+        store.commit(spark, "assign", "racer", stats, attempt="racer-a",
+                     detect_conflicts=True, on_conflict="error")
+    # and 'drop' mode commits nothing when everything is taken
+    got = store.commit(spark, "assign", "racer", stats, attempt="racer-b",
+                       detect_conflicts=True)
+    assert got == set()
