@@ -164,6 +164,8 @@ class LineageStore:
                             f"stage {stage!r} by another writer")
                     rows = [r for r in rows if r[0] not in lost]
                     if not rows:
+                        if os.path.exists(tmp):
+                            os.unlink(tmp)
                         return set()
             now = time.time()
             tbl = pa.table({
