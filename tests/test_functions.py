@@ -225,3 +225,25 @@ def test_lang_guess_split_semantics(spark):
     got = {r["id"]: r["lg"] for r in df.select(
         "id", T.lang_guess(F.col("text")).alias("lg")).collect()}
     assert got[0] == "en" and got[1] == "de" and got[2] == "unknown"
+
+
+def test_ann_recall_vs_exact_twin_on_testdata(spark):
+    """The two rows-only driver queries (ann_lsh_top3 / ann_ivf_top3) are
+    pinned against their EXACT twin (embed_top3) on the driver's own
+    testdata: recall floors that a bucket-sizing or probe regression
+    would break. The embeddings here are near-random (not near-dups), the
+    regime where hyperplane LSH is inherently weakest — its near-dup
+    contract, recall >= 0.9 on planted duplicates, is pinned by the
+    planted tests above; IVF's nprobe probing holds high recall in both
+    regimes."""
+    from osm2garmin_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["q_id"], r["c_id"]) for r in Q.embed_top3(spark, sf).collect()}
+    lsh = {(r["q_id"], r["c_id"])
+           for r in Q.ann_lsh_top3(spark, sf).collect()}
+    ivf = {(r["q_id"], r["c_id"])
+           for r in Q.ann_ivf_top3(spark, sf).collect()}
+    assert len(exact) == 60
+    assert len(lsh & exact) / len(exact) >= 0.5
+    assert len(ivf & exact) / len(exact) >= 0.75
