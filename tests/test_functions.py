@@ -235,7 +235,9 @@ def test_ann_recall_vs_exact_twin_on_testdata(spark):
     regime where hyperplane LSH is inherently weakest — its near-dup
     contract, recall >= 0.9 on planted duplicates, is pinned by the
     planted tests above; IVF's nprobe probing holds high recall in both
-    regimes."""
+    regimes. At this corpus size (500 rows <= 2·target_bucket_rows)
+    plan_lsh sizes ONE plane, so coverage is near-exhaustive and recall
+    ~1.0 (a fixed 4-plane floor used to cut it to 0.58)."""
     from osm2garmin_spark import queries as Q
 
     sf = "/root/testdata/sf0.001"
@@ -245,5 +247,5 @@ def test_ann_recall_vs_exact_twin_on_testdata(spark):
     ivf = {(r["q_id"], r["c_id"])
            for r in Q.ann_ivf_top3(spark, sf).collect()}
     assert len(exact) == 60
-    assert len(lsh & exact) / len(exact) >= 0.5
+    assert len(lsh & exact) / len(exact) >= 0.9
     assert len(ivf & exact) / len(exact) >= 0.75
