@@ -184,6 +184,16 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
     grid path and defers the neighbor-stats scan until a query actually
     escalates (zero extra neighbor passes on the happy path).
 
+    Known skew behavior: the auto-tuned cell targets ~64 ring candidates
+    at the GLOBAL average density, so a query inside a hot spot whose
+    local density is D× the average sees ~64·D candidates — the window's
+    per-query top-k absorbs this (partition = one query's candidates,
+    sorted and cut at k), but hot-cell join output is the residual skew
+    cost of exact kNN on clustered data. The mitigation path at planetary
+    scale is per-region cell sizing (run knn_grid per density stratum
+    with its own cell — the operators compose; the quadtree's density
+    grid already supplies the strata) rather than one global cell.
+
     Iteration discipline: every per-level intermediate (query cells,
     top-k, escalated set) is ``localCheckpoint``ed, not persisted —
     checkpointing truncates the logical plan, which otherwise embeds the
