@@ -157,3 +157,45 @@ def test_ann_autosizing_runs_no_count_scan(spark):
     assert not any("count" in n for n in stage_names), stage_names
     # the DataFrames still execute correctly
     assert df.count() > 0 and df2.count() > 0
+
+
+def test_knn_grid_explodes_query_side(spark, monkeypatch):
+    """knn_grid level 0 must explode the QUERY side to its 3x3 ring (the
+    grid path only runs when the neighbor side is the big one, so the 9x
+    explode belongs on the smaller side). localCheckpoint is no-opped so
+    the pre-checkpoint plan stays inspectable."""
+    from pyspark.sql.classic.dataframe import DataFrame
+    from osm2garmin_spark.operators import knn as K
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint",
+                        lambda self, eager=True: self)
+    qs = spark.range(0, 50).select(
+        F.col("id").alias("q_id"), (F.col("id") * 0.1).alias("q_lat"),
+        (F.col("id") * 0.2).alias("q_lon"))
+    ns = spark.range(0, 500).select(
+        F.col("id").alias("n_id"), (F.col("id") * 0.01).alias("n_lat"),
+        (F.col("id") * 0.02).alias("n_lon"))
+    out = K.knn_grid(qs, ns, k=3, cell_deg=10.0)  # one ring covers all
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+
+    def indent(s):
+        return len(s) - len(s.lstrip(" :+-"))
+
+    subtrees = []
+    for i, l in enumerate(lines):
+        if "Generate explode" not in l:
+            continue
+        d = indent(l)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if indent(nxt) <= d:
+                break
+            sub.append(nxt)
+        subtrees.append("\n".join(sub))
+    assert subtrees, plan
+    # every explode sits over the QUERY branch, never the neighbor scan
+    assert all("q_lat" in s and "n_lat" not in s for s in subtrees), plan
+    # and the operator still answers correctly under the no-op checkpoint
+    rows = out.collect()
+    assert {r["q_id"] for r in rows} == set(range(50))
