@@ -69,18 +69,69 @@ def _parquet_rows(sf_dir: str, name: str) -> int:
     This is the 'lineage/catalog stats' leg of ANN auto-sizing (VERDICT r2
     item 2: a corpus.count() job just to pick planes/nlist is an avoidable
     full pass at scale; an Iceberg catalog would serve this from manifests).
-    Falls back to -1 if the path isn't local-filesystem parquet."""
+    Falls back to -1 if the path isn't local-filesystem parquet — and
+    ALSO when a directory holds no top-level *.parquet files (e.g. a
+    Hive-partitioned layout with files in subdirectories): 0 would read
+    as a valid 'empty table' count and callers would skip their
+    documented count() fallback (ADVICE r3)."""
     import os
     try:
         import pyarrow.parquet as pq
         path = f"{sf_dir}/{name}.parquet"
         if os.path.isdir(path):
+            files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not files:
+                return -1
             return sum(
                 pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path) if f.endswith(".parquet"))
+                for f in files)
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return -1
+
+
+def _parquet_sample_vecs(sf_dir: str, name: str, id_col: str, vec_col: str,
+                         n: int):
+    """First-n-rows IVF training sample straight from the parquet file's
+    leading row group(s), id-sorted — zero Spark jobs. The vector-valued
+    twin of _parquet_rows (VERDICT r3 #3: the centroid-training
+    TakeOrdered pass examined every corpus row just to pick a 4k-row
+    sample; row-group reads touch only the leading ~n rows no matter the
+    corpus size). Returns a float64 (n, dim) matrix, or None when the
+    path isn't flat local parquet (callers fall back to the
+    early-terminating limit() scan inside train_ivf_centroids)."""
+    import os
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                           if f.endswith(".parquet"))
+            if not files:
+                return None
+        else:
+            files = [path]
+        batches, got = [], 0
+        for f in files:
+            pf = pq.ParquetFile(f)
+            for rg in range(pf.metadata.num_row_groups):
+                t = pf.read_row_group(rg, columns=[id_col, vec_col])
+                batches.append(t)
+                got += t.num_rows
+                if got >= n:
+                    break
+            if got >= n:
+                break
+        if not batches:
+            return None
+        import numpy as np
+        tbl = pa.concat_tables(batches).slice(0, n).to_pandas()
+        tbl = tbl.sort_values(id_col)
+        return np.vstack([np.asarray(v, dtype=np.float64)
+                          for v in tbl[vec_col]])
+    except Exception:
+        return None
 
 
 def _cents(col) -> F.Column:
@@ -1110,6 +1161,88 @@ FROM buckets l JOIN buckets r ON l.bk = r.bk AND l.id < r.id
 """
 
 
+def _ann_lsh_sql(num_tables: int = 8, dim: int = 64) -> str:
+    """Exact DuckDB twin of ann_lsh_top3 — the full banded multi-table LSH
+    structure rederived from first principles, like _minhash_sql:
+
+    - plane sizing: num_planes = clamp(ceil(log2(count/256)), 1, 30)
+      recomputed from COUNT(*) (the engine reads it from parquet footer
+      stats — same number, different transport);
+    - the ±1 hyperplanes: functions/similarity._hyperplane is a plain
+      64-bit LCG (state = state*6364136223846793005 + 1442695040888963407
+      mod 2^64; coefficient = bit 62), reproduced with a recursive CTE in
+      HUGEINT (the 128-bit product of a <2^64 state and the <2^63
+      multiplier fits signed 128-bit; verified bit-identical to
+      _plane_matrix for all tables);
+    - sign projections are sums of ±embedding[d] (exact ±float32 values
+      in float64 — no product rounding), bucket bits, the per-table
+      bucket equi-join, candidate DISTINCT, exact cosine refine, and the
+      (sim DESC, c_id ASC) top-3 window.
+
+    Plane h for (table t, plane p) is t*num_planes + p + 1, exactly as
+    _plane_matrix lays them out.
+    """
+    return f"""
+WITH RECURSIVE
+params AS (
+  SELECT GREATEST(1, LEAST(30, CAST(CEIL(LOG2(
+           GREATEST((SELECT COUNT(*) FROM embeddings), 2) / 256.0)) AS INT))) AS np
+),
+hs AS (
+  SELECT UNNEST(range(1, (SELECT np FROM params) * {num_tables} + 1)) AS h
+),
+lcg(h, i, state) AS (
+  SELECT h, 0,
+         (CAST(h AS HUGEINT) * 6364136223846793005 + 1442695040888963407)
+           % 18446744073709551616
+  FROM hs
+  UNION ALL
+  SELECT h, i + 1,
+         (state * 6364136223846793005 + 1442695040888963407)
+           % 18446744073709551616
+  FROM lcg WHERE i < {dim}
+),
+coefs AS (
+  SELECT h, i,
+         CASE WHEN (state // CAST(4611686018427387904 AS HUGEINT)) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS coef
+  FROM lcg WHERE i >= 1
+),
+dims AS (
+  SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+  FROM embeddings, (SELECT UNNEST(range(1, {dim} + 1)) AS i) t
+),
+proj AS (
+  SELECT d.vec_id, c.h, SUM(d.v * c.coef) AS dot
+  FROM dims d JOIN coefs c ON d.i = c.i
+  GROUP BY d.vec_id, c.h
+),
+buckets AS (
+  SELECT vec_id,
+         CAST((h - 1) // (SELECT np FROM params) AS INT) AS tbl,
+         SUM(CASE WHEN dot > 0
+             THEN CAST(1 AS BIGINT) << CAST((h - 1) % (SELECT np FROM params) AS INT)
+             ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT cand.q_id, cand.c_id,
+         ROW_NUMBER() OVER (PARTITION BY cand.q_id
+           ORDER BY list_cosine_similarity(eq.embedding, ec.embedding) DESC,
+                    cand.c_id ASC) AS rnk
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.q_id
+  JOIN embeddings ec ON ec.vec_id = cand.c_id
+)
+SELECT q_id, c_id, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
 def ann_lsh_top3(spark, sf_dir):
     """LSH-bucketed approximate top-3 (compare with embed_top3 for recall)."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -1166,8 +1299,9 @@ def ann_ivf_top3(spark, sf_dir):
     corpus = emb.select(F.col("vec_id").alias("c_id"),
                         F.col("embedding").alias("c_vec"))
     n = _parquet_rows(sf_dir, "embeddings")
+    sv = _parquet_sample_vecs(sf_dir, "embeddings", "vec_id", "embedding", 4096)
     out = S.ivf_topk(queries, corpus, k=3, dim=64, nprobe=4,
-                     n_rows=n if n >= 0 else None)
+                     n_rows=n if n >= 0 else None, sample_vecs=sv)
     return out.select("q_id", "c_id", "rnk")
 
 
@@ -1416,9 +1550,17 @@ def oracle_sql() -> Dict[str, str]:
         "video_frame_stats": _VIDEO_STATS_SQL,
         "audio_window_features": _AUDIO_FEATURES_SQL,
         "minhash_candidates": _minhash_sql(),
-        # ann_lsh_top3 / ann_ivf_top3: genuinely non-SQL-expressible (the
-        # random-hyperplane tables / trained IVF centroids are not
-        # arithmetic the oracle can rederive) → rows-only check; recall is
-        # pinned against the exact twins (embed_top3,
-        # embed_near_pairs_exact) in tests/test_functions.py
+        "ann_lsh_top3": _ann_lsh_sql(),
+        # ann_ivf_top3's oracle is the EXACT top-3 SQL: at sf0.01 the IVF
+        # path (deterministic driver k-means, nprobe=4 of 22 lists —
+        # pruning real, not exhaustive) achieves recall 1.0, so exact
+        # equality is the correct expectation AND an end-to-end check of
+        # the whole IVF machinery (sample → centroids → list assignment →
+        # probe → refine → window). The k-means itself is NOT SQL-
+        # reproducible bit-for-bit (DuckDB's parallel float SUM order is
+        # nondeterministic, and Lloyd iterations amplify a last-ulp
+        # divergence into different centroids), so the recall<1 regime is
+        # covered by the pytest recall pin vs the exact twin instead
+        # (tests/test_functions.py), incl. sf0.001 where recall is ~0.82.
+        "ann_ivf_top3": _EMBED_SQL,
     }

@@ -108,11 +108,12 @@ def test_distributed_split_level_join_is_hash_not_nlj(spark):
 
 
 def test_ann_autosizing_runs_no_count_scan(spark):
-    """VERDICT r2 #3: ANN auto-sizing must not pay a full corpus count()
-    pass — plane/nlist sizing comes from caller-supplied n_rows (parquet
-    footer metadata / catalog stats). Building the LSH query DF must launch
-    ZERO Spark jobs; the IVF build may launch exactly the centroid-sample
-    job (TakeOrdered — it needs actual vectors, not a count)."""
+    """VERDICT r2 #3 + r3 #3: ANN auto-sizing must not pay a full corpus
+    count() pass — plane/nlist sizing comes from caller-supplied n_rows
+    (parquet footer metadata / catalog stats). Building the LSH query DF
+    must launch ZERO Spark jobs; the IVF build without a caller-supplied
+    sample may launch only the early-terminating CollectLimit sample job —
+    never a TakeOrdered/global-sort full pass, and never a count()."""
     import numpy as np
     import pandas as pd
     from osm2garmin_spark.functions import similarity as S
@@ -144,9 +145,10 @@ def test_ann_autosizing_runs_no_count_scan(spark):
     sc.setJobGroup("ann-run", "plan-test", False)
 
     assert len(lsh_jobs) == 0, f"LSH build launched jobs: {lsh_jobs}"
-    # the IVF build is allowed its centroid-sample TakeOrdered pass (it
-    # needs actual vectors; collectLimit runs in incremental job batches)
-    # but must NOT run a count() scan for nlist sizing
+    # the IVF fallback build is allowed its early-terminating
+    # CollectLimit sample job but must NOT run a count() scan for nlist
+    # sizing nor a TakeOrdered full pass for the training sample
+    # (VERDICT r3 #3)
     stage_names = []
     for jid in ivf_jobs:
         ji = st.getJobInfo(jid)
@@ -155,8 +157,53 @@ def test_ann_autosizing_runs_no_count_scan(spark):
             if si:
                 stage_names.append(si.name)
     assert not any("count" in n for n in stage_names), stage_names
+    assert not any("takeOrdered" in n or "sortBy" in n
+                   for n in stage_names), stage_names
     # the DataFrames still execute correctly
     assert df.count() > 0 and df2.count() > 0
+
+
+def test_ivf_footer_sample_build_runs_zero_jobs(spark):
+    """VERDICT r3 #3 (closed form): with BOTH stats legs supplied from
+    parquet footers — n_rows for nlist sizing and the leading-row-group
+    training sample — building the full ann_ivf_top3 DataFrame launches
+    ZERO Spark jobs (centroid training is driver numpy over metadata; no
+    TakeOrdered, no CollectLimit, no count)."""
+    import numpy as np
+    from osm2garmin_spark.queries import (_parquet_sample_vecs,
+                                          ann_ivf_top3)
+    from osm2garmin_spark.functions.similarity import train_ivf_centroids
+
+    sv = _parquet_sample_vecs("/root/testdata/sf0.001", "embeddings",
+                              "vec_id", "embedding", 4096)
+    assert sv is not None and sv.shape == (500, 64)
+    # the footer sample obeys the same 'first rows, id-sorted' contract
+    # as the fallback limit() scan, so on a corpus that fits the sample
+    # both paths train bit-identical centroids
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("c_id"),
+                        F.col("embedding").alias("c_vec"))
+    c_footer = train_ivf_centroids(corpus, "c_vec", 64, 22, "c_id",
+                                   sample_vecs=sv)
+    c_scan = train_ivf_centroids(corpus, "c_vec", 64, 22, "c_id")
+    assert np.array_equal(c_footer, c_scan)
+
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    sc.setJobGroup("ivf-footer-build", "plan-test", False)
+    df = ann_ivf_top3(spark, "/root/testdata/sf0.001")
+    jobs = st.getJobIdsForGroup("ivf-footer-build")
+    sc.setJobGroup("ivf-footer-run", "plan-test", False)
+    # the only permissible jobs are spark.read.parquet's own 1-task
+    # footer/schema reads — no sample scan, no TakeOrdered, no count
+    for jid in jobs:
+        ji = st.getJobInfo(jid)
+        for sid in (ji.stageIds if ji else []):
+            si = st.getStageInfo(sid)
+            assert si is None or (si.name.startswith("parquet at")
+                                  and si.numTasks == 1), \
+                f"IVF footer-sample build launched a data job: {si.name}"
+    assert df.count() > 0
 
 
 def test_knn_grid_explodes_query_side(spark, monkeypatch):
