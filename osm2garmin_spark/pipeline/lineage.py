@@ -154,6 +154,15 @@ class LineageStore:
         name = attempt or _uuid.uuid4().hex
         tmp = os.path.join(self.lineage_dir, f".{name}.tmp")
         while True:
+            # Fix the claim TARGET before the conflict read (ADVICE r3):
+            # observing max_seq = s-1 first proves commits 1..s-1 already
+            # exist, so the read that follows covers every one of them. A
+            # racer that lands after the read must claim >= s and our own
+            # link of exactly s then fails -> loop re-reads. Reading
+            # before picking the target leaves a window where a racer
+            # takes s, we compute s+1, and the first-try link succeeds
+            # without ever re-reading the racer's commit.
+            seq = self._max_seq() + 1
             if detect_conflicts:
                 taken = self._committed_tiles_fs(stage)
                 lost = {t for t, _, _ in rows} & taken
@@ -178,7 +187,6 @@ class LineageStore:
                 "ts": pa.array([now] * len(rows), pa.float64()),
             })
             pq.write_table(tbl, tmp)
-            seq = self._max_seq() + 1
             final = os.path.join(self.lineage_dir,
                                  f"m{seq:08d}-{name}.parquet")
             try:

@@ -3,6 +3,7 @@ resumed output is identical to a single-shot run (SURVEY.md §5 item 4)."""
 
 import os
 import shutil
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -234,6 +235,111 @@ def test_interleaved_partial_writers(spark, points, tmp_path):
 
     got = sorted(map(tuple, _read_assigned(spark, d).collect()))
     assert got == expected
+
+
+def test_eight_writer_chunked_commit_race(spark, tmp_path):
+    """ADVICE r3 (medium): the commit loop must fix its claim seq BEFORE
+    reading the conflict set — observing max_seq = s-1 first proves the
+    read that follows covers every commit < s, so a successful link of
+    exactly s cannot miss a racer's commit. 8 writers with seeded random
+    tile subsets, chunk sizes, and start jitter hammer exactly that
+    window: every tile must end up vouched for by EXACTLY ONE committed
+    lineage row, and the per-writer committed sets must partition the
+    tile universe (no tile lost, none double-committed)."""
+    import random
+    import threading
+
+    d = str(tmp_path / "race8")
+    store = LineageStore(d)
+    tiles = list(range(100, 124))
+
+    def stats_df(tile_ids):
+        return spark.createDataFrame(
+            [(t, 10, t * 7) for t in tile_ids],
+            "tile_id int, n_rows long, digest long")
+
+    committed, errors = {}, {}
+
+    def writer(widx):
+        rng = random.Random(1000 + widx)
+        mine = rng.sample(tiles, k=16)
+        got = set()
+        try:
+            i = 0
+            while i < len(mine):
+                chunk = mine[i:i + rng.randint(2, 6)]
+                i += len(chunk)
+                time.sleep(rng.random() * 0.01)
+                got |= store.commit(
+                    spark, "assign", f"w{widx}", stats_df(chunk),
+                    attempt=f"w{widx}-c{i}", detect_conflicts=True)
+            committed[widx] = got
+        except Exception as e:  # noqa: BLE001
+            errors[widx] = e
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    # pairwise disjoint: write-time detection means no tile is vouched
+    # for twice even though every writer raced over overlapping subsets
+    all_claimed = [t for s in committed.values() for t in s]
+    assert len(all_claimed) == len(set(all_claimed)), "double-committed tile"
+    # nothing lost: the union of winners covers every tile any writer had
+    union_input = set()
+    for widx in range(8):
+        union_input |= set(random.Random(1000 + widx).sample(tiles, k=16))
+    assert set(all_claimed) == union_input
+
+    # and the manifests agree: exactly one committed row per tile
+    lin = store.read(spark).filter("stage = 'assign'")
+    per_tile = lin.groupBy("tile_id").count().collect()
+    assert {r["tile_id"] for r in per_tile} == union_input
+    assert all(r["count"] == 1 for r in per_tile)
+
+
+def test_eight_simultaneous_pipeline_writers(spark, points, tmp_path):
+    """VERDICT r3 #8 at full-pipeline fan-in: 8 simultaneous
+    run_tiling_resumable invocations on one output directory. All must
+    succeed, the committed lineage must hold exactly one row per tile,
+    the processed counts must partition the tile set, and
+    read_committed_assigned must equal a single-shot run exactly."""
+    import threading
+
+    d = str(tmp_path / "conc8")
+    d_ref = str(tmp_path / "conc8_ref")
+    run_tiling_resumable(points, d_ref, max_nodes=300, run_id="ref")
+    expected = sorted(map(tuple, _read_assigned(spark, d_ref).collect()))
+
+    results, errors = {}, {}
+
+    def writer(name):
+        try:
+            results[name] = run_tiling_resumable(
+                points, d, max_nodes=300, run_id=name)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = e
+
+    threads = [threading.Thread(target=writer, args=(f"w{i}",))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    got = sorted(map(tuple, _read_assigned(spark, d).collect()))
+    assert got == expected
+
+    store = LineageStore(d)
+    lin = store.read(spark).filter("stage = 'assign'")
+    per_tile_rows = lin.groupBy("tile_id").count().collect()
+    assert per_tile_rows and all(r["count"] == 1 for r in per_tile_rows)
+    assert (sum(r.get("processed", 0) for r in results.values())
+            == len(per_tile_rows))
 
 
 def test_commit_conflict_error_mode(spark, points, tmp_path):
