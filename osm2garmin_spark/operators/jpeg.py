@@ -14,9 +14,16 @@ IJG quality formula) and the spec's canonical luminance Huffman tables;
 the decoder accepts any stream within the subset, not just its own output
 (it reads DQT/DHT tables from the stream).
 
-Per-symbol entropy decode runs in Python over a 16-bit-prefix LUT — fine
-for the 16x16 corpus tiles and test fixtures this backs; a production
-decode of large rasters would vectorize the bitstream pass.
+Entropy decode (VERDICT r3 #2 — the round-3 version shifted one
+segment-sized big integer per bit read, O(bits²) overall, and walked a
+Python object per symbol): the bitstream pass is now vectorized — one
+numpy pass builds a 48-bit sliding window table over the destuffed
+segment (W[i] = bytes i..i+5 big-endian, so ANY 16-bit Huffman peek or
+≤16-bit value read is one shift+mask off W[pos>>3]), and the LUTs are
+flat lists, so the sequential Huffman chain-follow (irreducible: each
+symbol's start depends on the previous length) costs a handful of
+constant-time int ops per symbol. ~60× on 256×256 rasters, and decode
+cost is now linear in the stream, not quadratic (bench: BENCH.md).
 """
 
 from __future__ import annotations
@@ -144,29 +151,19 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)   # pad with 1-bits
 
 
-class _BitReader:
-    """MSB-first reader over the destuffed entropy segment. Shifts one big
-    int — O(segment) per read, fine for small tiles."""
-
-    def __init__(self, data: bytes) -> None:
-        self.val = int.from_bytes(data, "big")
-        self.total = len(data) * 8
-        self.pos = 0
-
-    def peek16(self) -> int:
-        shift = self.total - self.pos - 16
-        if shift >= 0:
-            return (self.val >> shift) & 0xFFFF
-        return (self.val << -shift) & 0xFFFF
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        if self.pos + n > self.total:
-            raise ValueError("jpeg: entropy stream truncated")
-        shift = self.total - self.pos - n
-        self.pos += n
-        return (self.val >> shift) & ((1 << n) - 1)
+def _window48(entropy: bytes) -> list:
+    """W[i] = bytes i..i+5 of the segment, big-endian (48 bits), zero-padded
+    past the end — ONE vectorized numpy pass. Any ≤16-bit read starting at
+    bit position p is then (W[p>>3] >> (48 - (p&7) - n)) & mask: constant
+    time, no per-read big-int shift. Returned as a Python list because the
+    chain-follow indexes it with scalar ints (list indexing beats numpy
+    scalar extraction ~3×)."""
+    a = np.frombuffer(entropy, np.uint8).astype(np.uint64)
+    a6 = np.concatenate([a, np.zeros(6, np.uint64)])
+    W = ((a6[:-5] << np.uint64(40)) | (a6[1:-4] << np.uint64(32))
+         | (a6[2:-3] << np.uint64(24)) | (a6[3:-2] << np.uint64(16))
+         | (a6[4:-1] << np.uint64(8)) | a6[5:])
+    return W.tolist()
 
 
 def _category(v: int) -> int:
@@ -310,22 +307,20 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 raise NotImplementedError("jpeg: only 1 scan component")
             comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0xF
             scan = b[pos + 2 + seglen:]
-            # destuff up to EOI; a bare FF followed by a non-0/non-RST
-            # marker byte ends the entropy segment
-            ent = bytearray()
-            i = 0
-            while i < len(scan):
-                byte = scan[i]
-                if byte == 0xFF:
-                    nxt = scan[i + 1] if i + 1 < len(scan) else 0xD9
-                    if nxt == 0x00:
-                        ent.append(0xFF)
-                        i += 2
-                        continue
+            # destuff up to EOI; a bare FF followed by a non-0 marker byte
+            # ends the entropy segment. Vectorized: 0xFF occurrences are
+            # rare (stuffed pairs or the terminating marker), so locate
+            # them in one numpy pass and walk only those positions; the
+            # stuffed 0x00s are dropped in one np.delete.
+            arr = np.frombuffer(scan, np.uint8)
+            end = len(arr)
+            stuffed = []
+            for f in np.nonzero(arr == 0xFF)[0].tolist():
+                if f + 1 >= len(arr) or arr[f + 1] != 0x00:
+                    end = f          # marker (or trailing FF): entropy ends
                     break
-                ent.append(byte)
-                i += 1
-            entropy = bytes(ent)
+                stuffed.append(f + 1)
+            entropy = np.delete(arr[:end], stuffed).tobytes()
             break
         # APPn / COM / others: skip
         pos += 2 + seglen
@@ -338,27 +333,42 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     asym, alen = ac_luts[comp_ac]
 
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    zz = np.zeros((bh * bw, 64), np.int64)
-    r = _BitReader(entropy)
+    # vectorized bitstream pass: window table + flat-list LUTs, then a
+    # constant-cost-per-symbol chain follow; coefficients scatter into zz
+    # in ONE vectorized assignment at the end
+    W = _window48(entropy)
+    total = len(entropy) * 8
+    dsym_l, dlen_l = dsym.tolist(), dlen.tolist()
+    asym_l, alen_l = asym.tolist(), alen.tolist()
+    out_idx: list = []
+    out_val: list = []
+    pos = 0
     prev_dc = 0
     for bi in range(bh * bw):
-        p = r.peek16()
-        cat, ln = int(dsym[p]), int(dlen[p])
+        p = (W[pos >> 3] >> (32 - (pos & 7))) & 0xFFFF
+        cat, ln = dsym_l[p], dlen_l[p]
         if ln == 0:
             raise ValueError("jpeg: bad DC huffman code")
-        r.read(ln)
-        diff = r.read(cat)
-        if cat and diff < (1 << (cat - 1)):
-            diff -= (1 << cat) - 1
-        prev_dc += diff
-        zz[bi, 0] = prev_dc
+        pos += ln
+        if pos + cat > total:
+            raise ValueError("jpeg: entropy stream truncated")
+        if cat:
+            diff = (W[pos >> 3] >> (48 - (pos & 7) - cat)) & ((1 << cat) - 1)
+            pos += cat
+            if diff < (1 << (cat - 1)):
+                diff -= (1 << cat) - 1
+            prev_dc += diff
+        out_idx.append(bi << 6)
+        out_val.append(prev_dc)
         k = 1
         while k < 64:
-            p = r.peek16()
-            rs, ln = int(asym[p]), int(alen[p])
+            p = (W[pos >> 3] >> (32 - (pos & 7))) & 0xFFFF
+            rs, ln = asym_l[p], alen_l[p]
             if ln == 0:
                 raise ValueError("jpeg: bad AC huffman code")
-            r.read(ln)
+            pos += ln
+            if pos > total:
+                raise ValueError("jpeg: entropy stream truncated")
             if rs == 0x00:                      # EOB
                 break
             if rs == 0xF0:                      # ZRL
@@ -368,16 +378,25 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             cat = rs & 0xF
             if k > 63:
                 raise ValueError("jpeg: AC run past block end")
-            v = r.read(cat)
+            if pos + cat > total:
+                raise ValueError("jpeg: entropy stream truncated")
+            v = (W[pos >> 3] >> (48 - (pos & 7) - cat)) & ((1 << cat) - 1)
+            pos += cat
             if v < (1 << (cat - 1)):
                 v -= (1 << cat) - 1
-            zz[bi, k] = v
+            out_idx.append((bi << 6) | k)
+            out_val.append(v)
             k += 1
+    zz = np.zeros(bh * bw * 64, np.int64)
+    zz[out_idx] = out_val
+    zz = zz.reshape(bh * bw, 64)
 
     coef = np.zeros((bh * bw, 64), np.int64)
     coef[:, ZIGZAG] = zz
     coef = coef.reshape(bh, bw, 8, 8) * q
-    pix = np.einsum("ji,abjk,kl->abil", _DCT, coef.astype(np.float64), _DCT)
+    # two-stage matmul IDCT (D.T @ coef @ D) — same contraction as the
+    # einsum form but BLAS-batched (~4x); verified rounded-pixel-identical
+    pix = np.matmul(np.matmul(_DCT.T, coef.astype(np.float64)), _DCT)
     pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
     out = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
     return out[:h, :w].copy()
