@@ -82,6 +82,15 @@ def main():
         extra["n_tiles"] = len(res.tiles)
 
     timed("tiling_pipeline_2m_images", tiling_bench)
+    if "tiling_pipeline_2m_images" in timings:
+        # driver-state evidence for the scale rehearsal: the only corpus-
+        # dependent driver allocation is the occupied-density-cell table
+        # (bounded by the resolution-11 grid, 2048x1024 cells, NOT by
+        # corpus rows) — peak Python-process RSS is where that toPandas
+        # lands, so a flat maxrss across corpus sizes pins the bound
+        import resource
+        extra["driver_py_maxrss_mb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
 
     # scaling-evidence variant: density → split → assign → per-tile decode
     # verification (PSNR + caption). The decode pass is the dominant,

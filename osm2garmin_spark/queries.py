@@ -716,6 +716,50 @@ SELECT c_custkey, s_suppkey, rnk FROM ranked WHERE rnk <= 3
 """
 
 
+def knn_stratified_customers_events(spark, sf_dir):
+    """Density-stratified grid kNN (VERDICT r3 #4): customer points → 3
+    nearest event points, with queries banded by local event density and
+    each band joining at its own tuned cell (operators/knn.py
+    knn_grid_stratified). Escalation keeps every band exact, so the
+    DuckDB oracle is the plain cross-join window — the same exactness
+    contract as knn_customers_suppliers, now over the stratified path."""
+    from .operators.knn import knn_grid_stratified
+
+    par = spark.sparkContext.defaultParallelism
+    cust = _read(spark, sf_dir, "customer").repartition(par).select(
+        F.col("c_custkey").alias("q_id"),
+        derived_lat(F.col("c_custkey") + 900000).alias("q_lat"),
+        derived_lon(F.col("c_custkey") + 900000).alias("q_lon"))
+    ev = _read(spark, sf_dir, "events").repartition(par).select(
+        F.col("event_id").alias("n_id"),
+        derived_lat(F.col("event_id")).alias("n_lat"),
+        derived_lon(F.col("event_id")).alias("n_lon"))
+    out = knn_grid_stratified(cust, ev, k=3, coarse=32, n_strata=3)
+    return out.select(F.col("q_id").alias("c_custkey"),
+                      F.col("n_id").alias("event_id"), "rnk")
+
+
+_KNN_STRAT_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, {derived_lat_sql('(c_custkey + 900000)')} AS q_lat,
+         {derived_lon_sql('(c_custkey + 900000)')} AS q_lon
+  FROM customer
+), ev AS (
+  SELECT event_id, {derived_lat_sql('event_id')} AS n_lat,
+         {derived_lon_sql('event_id')} AS n_lon
+  FROM events
+), ranked AS (
+  SELECT c_custkey, event_id,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+             ORDER BY (q_lat - n_lat) * (q_lat - n_lat)
+                      + (q_lon - n_lon) * (q_lon - n_lon) ASC,
+                      event_id ASC) AS rnk
+  FROM cust, ev
+)
+SELECT c_custkey, event_id, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
 def pip_hexagon(spark, sf_dir):
     """point-in-polygon via vectorized ray casting (Region .poly semantics)."""
     pts = _event_points(spark, sf_dir)
@@ -1487,6 +1531,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_tileset": relation_tileset,
         "cell_encode": cell_encode,
         "knn_customers_suppliers": knn_customers_suppliers,
+        "knn_stratified_customers_events": knn_stratified_customers_events,
         "pip_hexagon": pip_hexagon,
         "doc_text_features": doc_text_features,
         "doc_fingerprints": doc_fingerprints,
@@ -1530,6 +1575,7 @@ def oracle_sql() -> Dict[str, str]:
         "relation_tileset": _RELATION_SQL,
         "cell_encode": _cell_encode_sql(),
         "knn_customers_suppliers": _KNN_SQL,
+        "knn_stratified_customers_events": _KNN_STRAT_SQL,
         "pip_hexagon": _PIP_SQL,
         "doc_text_features": _TEXT_FEATURES_SQL,
         "doc_fingerprints": _FP_SQL,
