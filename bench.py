@@ -171,6 +171,7 @@ def main():
     headline = ["q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
                 "top3_orders_per_customer", "density_histogram",
                 "tile_assign_fixed", "way_tileset", "knn_customers_suppliers",
+                "knn_stratified_customers_events",
                 "pip_hexagon", "doc_text_features", "doc_simhash",
                 "doc_token_bpe", "jaccard_pairs_docs", "embed_top3",
                 "minhash_candidates", "ann_lsh_top3", "ann_ivf_top3",

@@ -730,10 +730,16 @@ def knn_stratified_customers_events(spark, sf_dir):
         F.col("c_custkey").alias("q_id"),
         derived_lat(F.col("c_custkey") + 900000).alias("q_lat"),
         derived_lon(F.col("c_custkey") + 900000).alias("q_lon"))
+    # derive the event coords ONCE: each stratum branch (and each
+    # escalation level inside it) re-scans the neighbor table, and the
+    # derived-coordinate scalar chain is the dominant per-scan cost at
+    # bench scale. At production scale these are stored columns — the
+    # checkpoint stands in for that storage, not for the neighbor table
+    # itself (the operator still never collects or explodes it).
     ev = _read(spark, sf_dir, "events").repartition(par).select(
         F.col("event_id").alias("n_id"),
         derived_lat(F.col("event_id")).alias("n_lat"),
-        derived_lon(F.col("event_id")).alias("n_lon"))
+        derived_lon(F.col("event_id")).alias("n_lon")).localCheckpoint()
     out = knn_grid_stratified(cust, ev, k=3, coarse=32, n_strata=3)
     return out.select(F.col("q_id").alias("c_custkey"),
                       F.col("n_id").alias("event_id"), "rnk")
