@@ -9,8 +9,10 @@ partition id):
 
 - tiles table      (tile list from the quadtree; persisted so a resumed job
                     reuses identical boundaries — no re-derivation drift)
-- lineage table    one row per (stage, tile_id, attempt): row count + order-
-                    insensitive content digest (xor of xxhash64 over ids)
+- lineage table    one row per (stage, tile_id, attempt): row count, order-
+                    insensitive content digest (xor of xxhash64 over ids),
+                    and min/max id column stats (Iceberg lower/upper
+                    bounds) for read-time file skipping
 - output           parquet partitioned by (attempt, tile_id) where attempt
                     is unique per invocation; readers trust only files whose
                     (tile_id, attempt) pair has a committed lineage row
@@ -44,6 +46,7 @@ from ..split.quadtree import split_area
 from ..operators.tile_join import assign_points_to_tiles
 
 LINEAGE_SCHEMA = ("stage string, tile_id int, n_rows long, digest long, "
+                  "min_id long, max_id long, "
                   "run_id string, attempt string, ts double")
 
 
@@ -61,7 +64,14 @@ class LineageStore:
 
     # --- tile list (split stage) ----------------------------------------
     def save_tiles(self, tiles: Sequence[Area]) -> None:
-        tmp = self.tiles_path + ".tmp"
+        # writer-unique tmp: simultaneous initial writers (all of whom
+        # derived the IDENTICAL deterministic tile list from the same
+        # input) must not share a tmp path — with a common name, writer
+        # A's os.replace consumes the file writer B is about to replace
+        # and B dies with FileNotFoundError (seen at 8-writer fan-in).
+        # Atomic replace makes the last writer win; content is identical.
+        import uuid as _uuid
+        tmp = self.tiles_path + f".{_uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump([{"tile_id": t.map_id, "min_lat": t.min_lat,
                         "min_lon": t.min_long, "max_lat": t.max_lat,
@@ -116,9 +126,13 @@ class LineageStore:
                tile_stats: DataFrame, attempt: str = "",
                detect_conflicts: bool = False,
                on_conflict: str = "drop") -> Set[int]:
-        """tile_stats: (tile_id, n_rows, digest) — committed after the data
-        write succeeds; ``attempt`` names the data files this row vouches
-        for. Returns the set of tile_ids actually committed.
+        """tile_stats: (tile_id, n_rows, digest[, min_id, max_id]) —
+        committed after the data write succeeds; ``attempt`` names the
+        data files this row vouches for. The optional min_id/max_id are
+        per-tile column stats (tile_digests supplies them) recorded in
+        the manifest for read-time file skipping; absent columns commit
+        as null = unprunable. Returns the set of tile_ids actually
+        committed.
 
         The commit is a DRIVER-side atomic manifest write, Iceberg-style:
         per-tile stats are tiny (one row per tile, the same bound as the
@@ -148,9 +162,16 @@ class LineageStore:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows = [(int(r["tile_id"]), int(r["n_rows"]), int(r["digest"]))
-                for r in tile_stats.select("tile_id", "n_rows",
-                                           "digest").collect()]
+        has_stats = ("min_id" in tile_stats.columns
+                     and "max_id" in tile_stats.columns)
+        cols = ["tile_id", "n_rows", "digest"] + (
+            ["min_id", "max_id"] if has_stats else [])
+        rows = [(int(r["tile_id"]), int(r["n_rows"]), int(r["digest"]),
+                 int(r["min_id"]) if has_stats and r["min_id"] is not None
+                 else None,
+                 int(r["max_id"]) if has_stats and r["max_id"] is not None
+                 else None)
+                for r in tile_stats.select(*cols).collect()]
         name = attempt or _uuid.uuid4().hex
         tmp = os.path.join(self.lineage_dir, f".{name}.tmp")
         while True:
@@ -165,7 +186,7 @@ class LineageStore:
             seq = self._max_seq() + 1
             if detect_conflicts:
                 taken = self._committed_tiles_fs(stage)
-                lost = {t for t, _, _ in rows} & taken
+                lost = {r[0] for r in rows} & taken
                 if lost:
                     if on_conflict == "error":
                         raise CommitConflict(
@@ -182,6 +203,8 @@ class LineageStore:
                 "tile_id": pa.array([r[0] for r in rows], pa.int32()),
                 "n_rows": pa.array([r[1] for r in rows], pa.int64()),
                 "digest": pa.array([r[2] for r in rows], pa.int64()),
+                "min_id": pa.array([r[3] for r in rows], pa.int64()),
+                "max_id": pa.array([r[4] for r in rows], pa.int64()),
                 "run_id": pa.array([run_id] * len(rows), pa.string()),
                 "attempt": pa.array([attempt] * len(rows), pa.string()),
                 "ts": pa.array([now] * len(rows), pa.float64()),
@@ -208,17 +231,57 @@ class LineageStore:
 
 
 def tile_digests(assigned: DataFrame, id_col: str) -> DataFrame:
-    """(tile_id, n_rows, digest): order-insensitive content digest —
-    stable under AQE/shuffle nondeterminism; bit_xor never overflows (ANSI
-    mode) at any row count."""
+    """(tile_id, n_rows, digest, min_id, max_id): order-insensitive
+    content digest — stable under AQE/shuffle nondeterminism; bit_xor
+    never overflows (ANSI mode) at any row count. min/max ride the same
+    partial agg for free and become the manifest's column stats
+    (Iceberg lower_bounds/upper_bounds), which read_committed_assigned
+    uses to prune committed files against an id predicate without
+    opening them."""
     return assigned.groupBy("tile_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.bit_xor(F.xxhash64(F.col(id_col))).alias("digest"))
+        F.bit_xor(F.xxhash64(F.col(id_col))).alias("digest"),
+        F.min(F.col(id_col)).cast("long").alias("min_id"),
+        F.max(F.col(id_col)).cast("long").alias("max_id"))
+
+
+def committed_pairs(spark: SparkSession, out_dir: str,
+                    stage: str = "assign",
+                    as_of: Optional[float] = None,
+                    id_between: Optional[tuple] = None) -> DataFrame:
+    """(tile_id, attempt) of the winning committed attempt per tile —
+    the reader's file-selection set.
+
+    Winner resolution happens BEFORE any stats pruning (two attempts of
+    one tile may hold different content, so pruning must never promote a
+    losing attempt). With ``id_between=(lo, hi)``, winners whose manifest
+    column stats (min_id/max_id, Iceberg lower/upper bounds) prove no row
+    can fall in [lo, hi] are dropped — their data files are never opened.
+    Manifests from before the stats columns existed read as null and stay
+    unprunable (correct, not merely compatible)."""
+    store = LineageStore(out_dir)
+    lin = store.read(spark).filter(F.col("stage") == stage)
+    if as_of is not None:
+        lin = lin.filter(F.col("ts") <= float(as_of))
+    w = Window.partitionBy("tile_id").orderBy(F.col("ts").asc(),
+                                              F.col("attempt").asc())
+    winners = (lin.select("tile_id", "attempt", "ts", "min_id", "max_id")
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1))
+    if id_between is not None:
+        lo, hi = id_between
+        winners = winners.filter(
+            F.col("min_id").isNull() | F.col("max_id").isNull()
+            | ((F.col("max_id") >= F.lit(lo))
+               & (F.col("min_id") <= F.lit(hi))))
+    return winners.select("tile_id", "attempt")
 
 
 def read_committed_assigned(spark: SparkSession, out_dir: str,
                             stage: str = "assign",
-                            as_of: Optional[float] = None) -> DataFrame:
+                            as_of: Optional[float] = None,
+                            id_between: Optional[tuple] = None,
+                            id_col: str = "event_id") -> DataFrame:
     """Read back ONLY data files vouched for by a committed lineage row.
 
     Orphan files from an attempt that crashed between its data write and
@@ -226,30 +289,31 @@ def read_committed_assigned(spark: SparkSession, out_dir: str,
     references; the isin filter prunes those directories at scan time and
     the broadcast semi-join enforces the exact (tile_id, attempt) contract.
 
-    Two Iceberg-snapshot-style guarantees ride the same selection:
+    Three Iceberg-snapshot-style guarantees ride the same selection:
     - concurrent-writer safety: if two writers race past the completed()
       check and BOTH commit the same tile, the reader deterministically
       keeps one attempt per tile (earliest commit ts, attempt string as
       the tie-break) — a double commit degrades to dead files, never to
       duplicate rows;
     - time travel: ``as_of`` (unix seconds) reads the table as of that
-      instant — only lineage rows committed at or before it participate.
+      instant — only lineage rows committed at or before it participate;
+    - stats pruning: ``id_between=(lo, hi)`` drops committed files whose
+      manifest min_id/max_id stats exclude the range before the scan
+      (committed_pairs), then applies the exact residual ``id_col``
+      predicate — Iceberg's file-skipping contract: stats select a
+      superset, the engine filters the remainder.
     """
-    store = LineageStore(out_dir)
-    lin = store.read(spark).filter(F.col("stage") == stage)
-    if as_of is not None:
-        lin = lin.filter(F.col("ts") <= float(as_of))
-    w = Window.partitionBy("tile_id").orderBy(F.col("ts").asc(),
-                                              F.col("attempt").asc())
-    pairs = (lin.select("tile_id", "attempt", "ts")
-             .withColumn("_rn", F.row_number().over(w))
-             .filter(F.col("_rn") == 1)
-             .select("tile_id", "attempt"))
+    pairs = committed_pairs(spark, out_dir, stage, as_of, id_between)
     attempts = [r["attempt"] for r in pairs.select("attempt").distinct().collect()]
     df = spark.read.parquet(os.path.join(out_dir, "assigned"))
-    return (df.filter(F.col("attempt").isin(attempts))
-            .join(F.broadcast(pairs), ["tile_id", "attempt"], "left_semi")
-            .drop("attempt"))
+    out = (df.filter(F.col("attempt").isin(attempts))
+           .join(F.broadcast(pairs), ["tile_id", "attempt"], "left_semi")
+           .drop("attempt"))
+    if id_between is not None:
+        lo, hi = id_between
+        out = out.filter((F.col(id_col) >= F.lit(lo))
+                         & (F.col(id_col) <= F.lit(hi)))
+    return out
 
 
 def snapshots(spark: SparkSession, out_dir: str,

@@ -28,7 +28,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..geo.area import Area, EMPTY_AREA, round_area
-from ..geo.units import to_degrees
+from ..geo.units import to_degrees, to_map_unit
 
 
 class DensityGrid:
@@ -293,6 +293,29 @@ def split_area(grid: DensityGrid, exact_area: Area, resolution: int,
     getRoundedArea, DensityMapCollector.java:80-83). Returns Areas with
     map_id set in reference traversal order."""
     bbounds = round_area(exact_area, resolution)
+    # Robustness divergence #2 (same spirit as the empty-areas retry
+    # below): RoundingUtils.round moves the min-lat edge UP and the
+    # max-lon edge DOWN (RoundingUtils.java:74,89), so data confined to a
+    # sub-alignment sliver along those two edges falls OUTSIDE the
+    # rounded bbox — the subset grid never sees those rows, trim hugs the
+    # surviving bands, and real input points end up in no tile (the
+    # ±overlap extension cannot rescue them once trim has pulled the
+    # nearest tile a whole band away). Detect the exclusion and pad the
+    # exact bbox by one alignment on the excluded side(s). Inputs whose
+    # edges round outward — the common case and every pinned parity
+    # corpus — take the first branch untouched, so tile boundaries stay
+    # bit-identical to the reference there. The ±85° polar clamp is the
+    # reference's intentional discard and is honoured (no pad below it).
+    align = 1 << (24 - resolution)
+    clamped_min_lat = max(exact_area.min_lat, to_map_unit(-85.0))
+    grow_down = bbounds.min_lat > clamped_min_lat
+    grow_right = bbounds.max_long < exact_area.max_long
+    if grow_down or grow_right:
+        padded = Area(exact_area.min_lat - (align if grow_down else 0),
+                      exact_area.min_long,
+                      exact_area.max_lat,
+                      exact_area.max_long + (align if grow_right else 0))
+        bbounds = round_area(padded, resolution)
     splittable = SplittableDensityArea(grid.subset(bbounds))
     areas = splittable.split(max_nodes)
     if not areas and grid.node_count() > 0:

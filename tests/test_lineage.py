@@ -361,3 +361,78 @@ def test_commit_conflict_error_mode(spark, points, tmp_path):
     got = store.commit(spark, "assign", "racer", stats, attempt="racer-b",
                        detect_conflicts=True)
     assert got == set()
+
+
+def test_manifest_column_stats_prune_reads(spark, tmp_path):
+    """Manifest column stats (Iceberg lower/upper bounds): commits record
+    per-tile min/max of the id column, and an id-range read prunes
+    committed files whose stats exclude the range BEFORE the scan, then
+    applies the exact residual predicate. Points are laid out so id
+    blocks cluster spatially (ids 0-599 in band 0, 600-1199 in band 1,
+    ...) — per-tile id ranges are then narrow and prunable."""
+    from osm2garmin_spark.pipeline.lineage import committed_pairs
+
+    pts = spark.range(0, 3000).select(
+        F.col("id").alias("event_id"),
+        ((F.col("id") / 600).cast("int") * 10.0 - 20.0).alias("lat"),
+        ((F.col("id") % 600) / 60.0 - 5.0).alias("lon"))
+    d = str(tmp_path / "stats")
+    run_tiling_resumable(pts, d, max_nodes=300, run_id="s0")
+
+    store = LineageStore(d)
+    lin = store.read(spark).filter("stage = 'assign'")
+    # stats recorded and TRUE: manifest min/max equal the data's min/max
+    full = read_committed_assigned(spark, d)
+    true_stats = {r["tile_id"]: (r["lo"], r["hi"]) for r in
+                  full.groupBy("tile_id")
+                      .agg(F.min("event_id").alias("lo"),
+                           F.max("event_id").alias("hi")).collect()}
+    for r in lin.select("tile_id", "min_id", "max_id").collect():
+        assert (r["min_id"], r["max_id"]) == true_stats[r["tile_id"]]
+
+    # pruning: a one-band id range must drop most winners pre-scan
+    n_all = committed_pairs(spark, d).count()
+    n_pruned = committed_pairs(spark, d, id_between=(0, 599)).count()
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+
+    # and the pruned read equals filter-after-full-read exactly
+    got = sorted(map(tuple,
+                     read_committed_assigned(spark, d, id_between=(0, 599))
+                     .select("event_id", "tile_id").collect()))
+    want = sorted(map(tuple,
+                      full.filter(F.col("event_id") <= 599)
+                      .select("event_id", "tile_id").collect()))
+    assert got == want
+
+
+def test_stats_free_manifests_stay_unprunable(spark, points, tmp_path):
+    """Manifests written before the stats columns existed read as null
+    min/max and must survive every reader path unpruned (correctness:
+    null stats = 'cannot exclude anything')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm2garmin_spark.pipeline.lineage import committed_pairs
+
+    d = str(tmp_path / "oldfmt")
+    run_tiling_resumable(points, d, max_nodes=300, run_id="new")
+    store = LineageStore(d)
+    lin = store.read(spark).filter("stage = 'assign'")
+    n_tiles = lin.count()
+
+    # hand-write a legacy-format manifest (no min_id/max_id columns) for
+    # a fictitious extra tile, claiming the next sequence number
+    legacy = pa.table({
+        "stage": pa.array(["assign"]), "tile_id": pa.array([999], pa.int32()),
+        "n_rows": pa.array([1], pa.int64()), "digest": pa.array([7], pa.int64()),
+        "run_id": pa.array(["old"]), "attempt": pa.array(["old-a"]),
+        "ts": pa.array([0.0], pa.float64())})
+    seq = store._max_seq() + 1
+    pq.write_table(legacy, os.path.join(store.lineage_dir,
+                                        f"m{seq:08d}-old.parquet"))
+
+    pairs = committed_pairs(spark, d, id_between=(10, 20))
+    kept = {r["tile_id"] for r in pairs.collect()}
+    assert 999 in kept          # null stats never pruned
+    # and the stats-bearing winners behave exactly as before
+    assert committed_pairs(spark, d).count() == n_tiles + 1

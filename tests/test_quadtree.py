@@ -138,3 +138,27 @@ def test_single_point_fallback_tile():
     tiles = split_area(grid, exact, RES, 100)
     assert len(tiles) == 1
     assert tiles[0].contains(lat, lon)
+
+
+def test_bottom_sliver_points_get_a_tile(spark):
+    """Robustness divergence #2: RoundingUtils.round moves the min-lat
+    edge up, so a point mass in the bottom sub-alignment sliver of the
+    exact bbox used to round OUTSIDE the split area — trim then hugged
+    the surviving bands and the sliver's points landed in no tile (600
+    of 3000 rows silently dropped in this corpus). split_area must pad
+    the excluded side by one alignment so every in-(polar)-bounds input
+    point is covered by some tile."""
+    from pyspark.sql import functions as F
+    from osm2garmin_spark.split.density import collect_density
+    from osm2garmin_spark.split.quadtree import split_area
+    from osm2garmin_spark.operators.tile_join import assign_points_to_tiles
+
+    pts = spark.range(0, 3000).select(
+        F.col("id").alias("event_id"),
+        ((F.col("id") / 600).cast("int") * 10.0 - 20.0).alias("lat"),
+        ((F.col("id") % 600) / 60.0 - 5.0).alias("lon"))
+    grid, exact = collect_density(pts, "lat", "lon", 13)
+    tiles = split_area(grid, exact, 13, 300)
+    assigned = assign_points_to_tiles(pts, tiles, 2000, "lat", "lon")
+    covered = assigned.select("event_id").distinct().count()
+    assert covered == 3000
