@@ -174,7 +174,8 @@ def main():
                 "knn_stratified_customers_events",
                 "pip_hexagon", "doc_text_features", "doc_simhash",
                 "doc_token_bpe", "jaccard_pairs_docs", "embed_top3",
-                "minhash_candidates", "ann_lsh_top3", "ann_ivf_top3",
+                "minhash_candidates", "dedup_clusters_docs",
+                "ann_lsh_top3", "ann_ivf_top3",
                 "image_decode_stats", "video_frame_stats",
                 "audio_window_features", "sessionize_events",
                 "apply_changes_gated", "tiling_pipeline_counts"]

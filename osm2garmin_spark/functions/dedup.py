@@ -175,3 +175,57 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         F.lit(0), lambda acc, v: acc + v)
     return cand.select("doc_a", "doc_b",
                        (eq_cnt.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"))
+
+
+def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   a_col: str = "doc_a", b_col: str = "doc_b",
+                   max_iters: int = 50) -> DataFrame:
+    """Connected-component cluster resolution over a near-dup pair graph:
+    (id, cluster_id) where cluster_id = the minimum id in the component —
+    the canonical-survivor rule of a training-data dedup pass ("keep one
+    doc per duplicate cluster"; the row with id == cluster_id survives).
+    ``ids`` supplies the vertex universe, so documents with no pair come
+    back as their own singleton cluster.
+
+    Algorithm: iterative min-label propagation. Each round every vertex
+    takes the min of its own label and its neighbors' labels; the loop
+    stops when the label sum stops decreasing (labels are non-negative
+    and monotonically non-increasing, so an unchanged 1-row sum proves a
+    fixpoint — no per-row change join needed). Rounds needed = the
+    component diameter, which for near-dup clusters (dense cliques from
+    banded LSH buckets) is tiny; max_iters is a divergence guard, not a
+    tuning knob, and non-convergence raises instead of returning wrong
+    labels.
+
+    100 TB shape: edges are iteration-invariant — pre-partitioned by src
+    ONCE (localCheckpoint pins the layout), so each round is one shuffle
+    of the (id, label) table against co-located edges plus a map-side
+    partial min; per-round cost is O(|E|/cores) with no growth across
+    rounds (each round's plan starts from the previous checkpoint, the
+    standard iterative-algorithm discipline used by knn_grid)."""
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(b_col).alias("src"),
+                              F.col(a_col).alias("dst")))
+             .repartition("src").localCheckpoint())
+    labels = (ids.select(F.col(id_col).alias("v"),
+                         F.col(id_col).alias("lbl"))
+              .localCheckpoint())
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iters):
+        nbr = (edges.join(labels.withColumnRenamed("v", "src"), "src")
+               .groupBy("dst").agg(F.min("lbl").alias("_nlbl"))
+               .withColumnRenamed("dst", "v"))
+        labels = (labels.join(nbr, "v", "left")
+                  .select("v", F.least(
+                      F.col("lbl"),
+                      F.coalesce(F.col("_nlbl"), F.col("lbl"))).alias("lbl"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            return labels.select(F.col("v").alias(id_col),
+                                 F.col("lbl").alias("cluster_id"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"dedup_clusters: no fixpoint after {max_iters} rounds "
+        "(component diameter exceeds max_iters)")

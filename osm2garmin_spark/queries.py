@@ -1168,7 +1168,17 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 8) -> str:
     polynomial hash mod FP_MOD, fixed linear permutations mod 2^31-1, NOT
     an engine-private hash), so the whole banded-LSH candidate structure
     is SQL-reproducible. Coefficients derive from the same formulas as
-    minhash_signatures."""
+    minhash_signatures (see _minhash_pairs_ctes)."""
+    return f"""
+WITH {_minhash_pairs_ctes(num_hashes, bands)}
+SELECT doc_a, doc_b FROM pairs
+"""
+
+
+def _minhash_pairs_ctes(num_hashes: int = 16, bands: int = 8) -> str:
+    """The shared CTE chain computing the banded-LSH candidate pairs in
+    DuckDB (used by the minhash_candidates oracle and, extended with a
+    reachability closure, by the dedup_clusters oracle)."""
     from .functions.dedup import MH_PRIME
     from .functions.text import FP_BASE, FP_MOD
 
@@ -1183,8 +1193,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 8) -> str:
         + " || '_' || ".join(f"CAST(s{bi * rpb + j} AS VARCHAR)"
                              for j in range(rpb))
         for bi in range(bands))
-    return f"""
-WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    return f"""docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
 words AS (
   SELECT DISTINCT doc_id AS id, w
   FROM docs, UNNEST(string_split(text, ' ')) AS t(w)
@@ -1205,9 +1214,46 @@ sigs AS (
 ),
 buckets AS (
   SELECT id, bk FROM sigs, UNNEST([{band_keys}]) AS u(bk)
+),
+pairs AS (
+  SELECT DISTINCT l.id AS doc_a, r.id AS doc_b
+  FROM buckets l JOIN buckets r ON l.bk = r.bk AND l.id < r.id
+)"""
+
+
+def dedup_clusters_docs(spark, sf_dir):
+    """Dedup cluster resolution (the step AFTER candidate generation in a
+    training-data pipeline): connected components over the minhash-LSH
+    near-dup pair graph, cluster_id = min doc id in the component — the
+    canonical-survivor rule. Iterative min-label propagation
+    (functions/dedup.dedup_clusters); singleton docs are their own
+    cluster."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=1,
+                                num_hashes=16, bands=8)
+    out = D.dedup_clusters(docs.select("doc_id"), pairs)
+    return out.select("doc_id", "cluster_id")
+
+
+def _dedup_clusters_sql() -> str:
+    """DuckDB twin of dedup_clusters_docs: the same banded-LSH pair CTEs
+    as minhash_candidates, then connected components as a recursive
+    reachability closure (UNION = set semantics → guaranteed fixpoint)
+    with cluster_id = MIN over each vertex's reachable set — the
+    declarative statement of the min-label-propagation fixpoint."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
 )
-SELECT DISTINCT l.id AS doc_a, r.id AS doc_b
-FROM buckets l JOIN buckets r ON l.bk = r.bk AND l.id < r.id
+SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
@@ -1556,6 +1602,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiling_pipeline_counts": tiling_pipeline_counts,
         "image_decode_stats": image_decode_stats,
         "minhash_candidates": minhash_candidates,
+        "dedup_clusters_docs": dedup_clusters_docs,
         "ann_lsh_top3": ann_lsh_top3,
         "ann_ivf_top3": ann_ivf_top3,
         "video_frame_stats": video_frame_stats,
@@ -1602,6 +1649,7 @@ def oracle_sql() -> Dict[str, str]:
         "video_frame_stats": _VIDEO_STATS_SQL,
         "audio_window_features": _AUDIO_FEATURES_SQL,
         "minhash_candidates": _minhash_sql(),
+        "dedup_clusters_docs": _dedup_clusters_sql(),
         "ann_lsh_top3": _ann_lsh_sql(),
         # ann_ivf_top3's oracle is the EXACT top-3 SQL: at sf0.01 the IVF
         # path (deterministic driver k-means, nprobe=4 of 22 lists —

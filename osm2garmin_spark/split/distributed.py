@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..geo.area import Area, PLANET, round_area
 from ..geo.units import to_degrees
-from .quadtree import SplittableDensityArea, _mix_results
+from .quadtree import (SplittableDensityArea, _mix_results,
+                       rounded_split_bounds)
 
 
 @dataclass
@@ -226,7 +227,10 @@ def split_area_distributed(cells: DataFrame, exact_area: Area,
     global _by_id
     shift = 24 - resolution
     origin = round_area(bounds, resolution)
-    bbounds = round_area(exact_area, resolution)
+    # the SAME sliver-padded bbox as the driver path — computing plain
+    # round_area here made the twin diverge on any corpus whose min-lat /
+    # max-lon edge rounds inward (quadtree.rounded_split_bounds)
+    bbounds = rounded_split_bounds(exact_area, resolution)
     root_window = Area(max(origin.min_lat, bbounds.min_lat),
                        max(origin.min_long, bbounds.min_long),
                        min(origin.max_lat, bbounds.max_lat),

@@ -286,26 +286,25 @@ def _mix_results(a1: List[Area], a2: List[Area]) -> List[Area]:
     return results
 
 
-def split_area(grid: DensityGrid, exact_area: Area, resolution: int,
-               max_nodes: int, first_map_id: int = 63240001) -> List[Area]:
-    """Pass-1 tail: round the exact data bbox, subset+trim the planet density
-    grid, split, assign sequential map ids (Main.java:177-195 + nodes.
-    getRoundedArea, DensityMapCollector.java:80-83). Returns Areas with
-    map_id set in reference traversal order."""
+def rounded_split_bounds(exact_area: Area, resolution: int) -> Area:
+    """round_area plus the sliver-coverage guard — the ONE bbox both the
+    driver split (split_area) and the distributed twin
+    (split.distributed.split_area_distributed) must use, or they diverge.
+
+    Robustness divergence #2 (same spirit as split_area's empty-areas
+    retry): RoundingUtils.round moves the min-lat edge UP and the max-lon
+    edge DOWN (RoundingUtils.java:74,89), so data confined to a
+    sub-alignment sliver along those two edges falls OUTSIDE the rounded
+    bbox — the subset grid never sees those rows, trim hugs the surviving
+    bands, and real input points end up in no tile (the ±overlap
+    extension cannot rescue them once trim has pulled the nearest tile a
+    whole band away). Detect the exclusion and pad the exact bbox by one
+    alignment on the excluded side(s); round_area's own parity adjustment
+    often pulls an edge outward already, in which case nothing changes
+    and tile boundaries stay bit-identical to the reference. The ±85°
+    polar clamp is the reference's intentional discard and is honoured
+    (no pad below it)."""
     bbounds = round_area(exact_area, resolution)
-    # Robustness divergence #2 (same spirit as the empty-areas retry
-    # below): RoundingUtils.round moves the min-lat edge UP and the
-    # max-lon edge DOWN (RoundingUtils.java:74,89), so data confined to a
-    # sub-alignment sliver along those two edges falls OUTSIDE the
-    # rounded bbox — the subset grid never sees those rows, trim hugs the
-    # surviving bands, and real input points end up in no tile (the
-    # ±overlap extension cannot rescue them once trim has pulled the
-    # nearest tile a whole band away). Detect the exclusion and pad the
-    # exact bbox by one alignment on the excluded side(s). Inputs whose
-    # edges round outward — the common case and every pinned parity
-    # corpus — take the first branch untouched, so tile boundaries stay
-    # bit-identical to the reference there. The ±85° polar clamp is the
-    # reference's intentional discard and is honoured (no pad below it).
     align = 1 << (24 - resolution)
     clamped_min_lat = max(exact_area.min_lat, to_map_unit(-85.0))
     grow_down = bbounds.min_lat > clamped_min_lat
@@ -316,6 +315,16 @@ def split_area(grid: DensityGrid, exact_area: Area, resolution: int,
                       exact_area.max_lat,
                       exact_area.max_long + (align if grow_right else 0))
         bbounds = round_area(padded, resolution)
+    return bbounds
+
+
+def split_area(grid: DensityGrid, exact_area: Area, resolution: int,
+               max_nodes: int, first_map_id: int = 63240001) -> List[Area]:
+    """Pass-1 tail: round the exact data bbox, subset+trim the planet density
+    grid, split, assign sequential map ids (Main.java:177-195 + nodes.
+    getRoundedArea, DensityMapCollector.java:80-83). Returns Areas with
+    map_id set in reference traversal order."""
+    bbounds = rounded_split_bounds(exact_area, resolution)
     splittable = SplittableDensityArea(grid.subset(bbounds))
     areas = splittable.split(max_nodes)
     if not areas and grid.node_count() > 0:

@@ -249,3 +249,46 @@ def test_ann_recall_vs_exact_twin_on_testdata(spark):
     assert len(exact) == 60
     assert len(lsh & exact) / len(exact) >= 0.9
     assert len(ivf & exact) / len(exact) >= 0.75
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """dedup_clusters (iterative min-label propagation) must equal a
+    driver-side union-find on random graphs, including chain components
+    (worst-case diameter) and isolated vertices."""
+    import numpy as np
+    import pandas as pd
+    from osm2garmin_spark.functions.dedup import dedup_clusters
+
+    rng = np.random.default_rng(23)
+    n = 400
+    # random sparse edges + one long chain (ids 300..349) for diameter
+    ea = rng.integers(0, 280, 120)
+    eb = rng.integers(0, 280, 120)
+    chain_a = np.arange(300, 349)
+    chain_b = chain_a + 1
+    pairs = pd.DataFrame({
+        "doc_a": np.concatenate([np.minimum(ea, eb), chain_a]),
+        "doc_b": np.concatenate([np.maximum(ea, eb), chain_b]),
+    })
+    pairs = pairs[pairs.doc_a != pairs.doc_b]
+    ids = pd.DataFrame({"doc_id": np.arange(n)})
+
+    # driver-side union-find oracle
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    out = dedup_clusters(spark.createDataFrame(ids),
+                         spark.createDataFrame(pairs))
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == want
