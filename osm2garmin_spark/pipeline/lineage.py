@@ -115,7 +115,9 @@ class LineageStore:
     def _max_seq(self) -> int:
         mx = 0
         for f in os.listdir(self.lineage_dir):
-            if f.endswith(".parquet") and f.startswith("m") and "-" in f:
+            # current format m{seq:08d}.parquet; legacy round-3 format
+            # m{seq:08d}-{attempt}.parquet still counts toward the max
+            if f.endswith(".parquet") and f.startswith("m"):
                 try:
                     mx = max(mx, int(f[1:9]))
                 except ValueError:
@@ -210,8 +212,16 @@ class LineageStore:
                 "ts": pa.array([now] * len(rows), pa.float64()),
             })
             pq.write_table(tbl, tmp)
-            final = os.path.join(self.lineage_dir,
-                                 f"m{seq:08d}-{name}.parquet")
+            # the claim target is the BARE sequence number: every writer
+            # racing for seq s links the SAME path, so exactly one link
+            # succeeds and every loser re-reads. Round 3 suffixed the
+            # attempt name into the filename — which made each writer's
+            # target unique, so os.link never collided across writers and
+            # the "CAS" only ever detected a writer racing itself; two
+            # writers could both claim seq 1 and double-commit every tile
+            # (caught by the 8-writer race test, ~1-in-6 repro). The
+            # attempt id lives in the manifest's own column.
+            final = os.path.join(self.lineage_dir, f"m{seq:08d}.parquet")
             try:
                 os.link(tmp, final)
             except FileExistsError:
