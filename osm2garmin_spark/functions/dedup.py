@@ -188,14 +188,15 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     back as their own singleton cluster.
 
     Algorithm: iterative min-label propagation. Each round every vertex
-    takes the min of its own label and its neighbors' labels; the loop
-    stops when the label sum stops decreasing (labels are non-negative
-    and monotonically non-increasing, so an unchanged 1-row sum proves a
-    fixpoint — no per-row change join needed). Rounds needed = the
-    component diameter, which for near-dup clusters (dense cliques from
-    banded LSH buckets) is tiny; max_iters is a divergence guard, not a
-    tuning knob, and non-convergence raises instead of returning wrong
-    labels.
+    takes the min of its own label and its neighbors' labels; each
+    round's join also emits a 0/1 did-this-row-improve flag whose 1-row
+    sum (bounded by the row count — safe for 64-bit hash/snowflake ids
+    under ANSI arithmetic, where summing the labels themselves would
+    overflow) drives the stop condition: zero improvements = fixpoint.
+    Rounds needed = the component diameter, which for near-dup clusters
+    (dense cliques from banded LSH buckets) is tiny; max_iters is a
+    divergence guard, not a tuning knob, and non-convergence raises
+    instead of returning wrong labels.
 
     100 TB shape: edges are iteration-invariant — pre-partitioned by src
     ONCE (localCheckpoint pins the layout), so each round is one shuffle
@@ -211,21 +212,21 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     labels = (ids.select(F.col(id_col).alias("v"),
                          F.col(id_col).alias("lbl"))
               .localCheckpoint())
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iters):
         nbr = (edges.join(labels.withColumnRenamed("v", "src"), "src")
                .groupBy("dst").agg(F.min("lbl").alias("_nlbl"))
                .withColumnRenamed("dst", "v"))
-        labels = (labels.join(nbr, "v", "left")
-                  .select("v", F.least(
-                      F.col("lbl"),
-                      F.coalesce(F.col("_nlbl"), F.col("lbl"))).alias("lbl"))
-                  .localCheckpoint())
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
+        nlbl = F.coalesce(F.col("_nlbl"), F.col("lbl"))
+        new = (labels.join(nbr, "v", "left")
+               .select("v",
+                       F.least(F.col("lbl"), nlbl).alias("lbl"),
+                       (nlbl < F.col("lbl")).cast("long").alias("_chg"))
+               .localCheckpoint())
+        changed = new.agg(F.sum("_chg")).first()[0]
+        labels = new.drop("_chg")
+        if not changed:
             return labels.select(F.col("v").alias(id_col),
                                  F.col("lbl").alias("cluster_id"))
-        prev_sum = cur_sum
     raise RuntimeError(
         f"dedup_clusters: no fixpoint after {max_iters} rounds "
         "(component diameter exceeds max_iters)")

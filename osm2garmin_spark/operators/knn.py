@@ -154,7 +154,7 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
              cell_deg: Optional[float] = None,
              q_id: str = "q_id", q_lat: str = "q_lat", q_lon: str = "q_lon",
              n_id: str = "n_id", n_lat: str = "n_lat", n_lon: str = "n_lon",
-             max_levels: int = 48) -> DataFrame:
+             max_levels: int = 48, neighbor_stats=None) -> DataFrame:
     """Grid-accelerated exact kNN → (q_id, n_id, rnk).
 
     Level 0: queries explode to their cell's 3×3 ring; equi-join on the
@@ -209,9 +209,14 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
     cluster pair this with a reliable checkpoint dir if executors are
     preemptible.
     """
-    stats = None
-    if cell_deg is None:
+    # ``neighbor_stats``: caller-supplied count/extent row (the exact
+    # _neighbor_stats shape) — knn_grid_stratified already aggregated it
+    # once for its banding, and without the passthrough every per-stratum
+    # call re-scanned the large neighbor table on escalation
+    stats = neighbor_stats
+    if cell_deg is None and stats is None:
         stats = _neighbor_stats(neighbors, n_lat, n_lon)
+    if cell_deg is None:
         if not stats["n"] or stats["n"] <= SMALL_NEIGHBORS:
             return knn_bruteforce_np(queries, neighbors, k, q_id, q_lat,
                                      q_lon, n_id, n_lat, n_lon)
@@ -406,16 +411,20 @@ def plan_strata(neighbors: DataFrame, k: int, coarse: int = 64,
     gets the tune_cell_deg formula applied to its OWN density:
     cell_s = sqrt(max(8k, 64) / (9 · density_s)).
 
-    Returns (stats_row, cell_to_stratum, stratum_cells):
+    Returns (stats_row, cell_to_stratum, stratum_cells, steps):
     - stats_row: the 1-row neighbor count/extent aggregate (None if empty)
     - cell_to_stratum: [(ix, iy, stratum)] for occupied coarse cells
     - stratum_cells: {stratum: cell_deg}, stratum 0 = sparsest band
+    - steps: (step_lat, step_lon) of the coarse grid — the ONE definition
+      of the banding grid; knn_grid_stratified derives its query-side
+      cell indices from these same values so the two sites can never
+      desynchronize.
     """
     import numpy as np
 
     stats = _neighbor_stats(neighbors, n_lat, n_lon)
     if not stats["n"]:
-        return None, [], {}
+        return None, [], {}, (0.0, 0.0)
     span_lat = max(stats["lat1"] - stats["lat0"], 1e-9)
     span_lon = max(stats["lon1"] - stats["lon0"], 1e-9)
     step_lat = span_lat / coarse
@@ -447,7 +456,7 @@ def plan_strata(neighbors: DataFrame, k: int, coarse: int = 64,
             continue
         density = cnts[sel].sum() / (sel.sum() * cell_area)
         stratum_cells[int(s)] = max(math.sqrt(target / (9.0 * density)), 1e-6)
-    return stats, cell_to_stratum, stratum_cells
+    return stats, cell_to_stratum, stratum_cells, (step_lat, step_lon)
 
 
 def knn_grid_stratified(queries: DataFrame, neighbors: DataFrame, k: int,
@@ -477,17 +486,13 @@ def knn_grid_stratified(queries: DataFrame, neighbors: DataFrame, k: int,
     checkpointed assignment — the union composes like any other plan.
     """
     spark = queries.sparkSession
-    stats, cell_map, stratum_cells = plan_strata(
+    stats, cell_map, stratum_cells, (step_lat, step_lon) = plan_strata(
         neighbors, k, coarse, n_strata, n_lat, n_lon)
     if stats is None:
         # no neighbors at all — empty result with the contract schema
         q_id_t = queries.schema[q_id].dataType.simpleString()
         n_id_t = neighbors.schema[n_id].dataType.simpleString()
         return spark.createDataFrame([], f"{q_id} {q_id_t}, {n_id} {n_id_t}, rnk int")
-    span_lat = max(stats["lat1"] - stats["lat0"], 1e-9)
-    span_lon = max(stats["lon1"] - stats["lon0"], 1e-9)
-    step_lat = span_lat / coarse
-    step_lon = span_lon / coarse
     m = spark.createDataFrame(cell_map, "_ix int, _iy int, _stratum int")
     qix = F.greatest(F.least(
         F.floor((F.col(q_lat) - F.lit(stats["lat0"])) / F.lit(step_lat)),
@@ -508,7 +513,8 @@ def knn_grid_stratified(queries: DataFrame, neighbors: DataFrame, k: int,
         parts.append(knn_grid(qs, neighbors, k, cell_deg=cell_s,
                               q_id=q_id, q_lat=q_lat, q_lon=q_lon,
                               n_id=n_id, n_lat=n_lat, n_lon=n_lon,
-                              max_levels=max_levels))
+                              max_levels=max_levels,
+                              neighbor_stats=stats))
     result = parts[0]
     for p in parts[1:]:
         result = result.unionByName(p)

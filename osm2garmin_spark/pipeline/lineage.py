@@ -116,10 +116,19 @@ class LineageStore:
         mx = 0
         for f in os.listdir(self.lineage_dir):
             # current format m{seq:08d}.parquet; legacy round-3 format
-            # m{seq:08d}-{attempt}.parquet still counts toward the max
+            # m{seq:08d}-{attempt}.parquet still counts toward the max.
+            # Parse the FULL digit run, not a fixed 8-char slice: %08d
+            # grows to 9 digits past 99,999,999 and a fixed slice would
+            # report a stale max — the committer would then retry an
+            # already-claimed seq forever (livelock past 1e8 commits).
             if f.endswith(".parquet") and f.startswith("m"):
+                digits = f[1:]
+                for stop in (".", "-"):
+                    cut = digits.find(stop)
+                    if cut >= 0:
+                        digits = digits[:cut]
                 try:
-                    mx = max(mx, int(f[1:9]))
+                    mx = max(mx, int(digits))
                 except ValueError:
                     pass
         return mx

@@ -1662,5 +1662,10 @@ def oracle_sql() -> Dict[str, str]:
         # divergence into different centroids), so the recall<1 regime is
         # covered by the pytest recall pin vs the exact twin instead
         # (tests/test_functions.py), incl. sf0.001 where recall is ~0.82.
+        # Oracle validity assumes the footer-sample training leg (flat
+        # local parquet — the driver's environment): the limit() fallback
+        # on a multi-file corpus can sample differently, train different
+        # centroids, and legitimately dip below recall 1.0 — that path is
+        # covered by the pytest recall pin, not by this equality oracle.
         "ann_ivf_top3": _EMBED_SQL,
     }

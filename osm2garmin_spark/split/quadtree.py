@@ -303,7 +303,13 @@ def rounded_split_bounds(exact_area: Area, resolution: int) -> Area:
     often pulls an edge outward already, in which case nothing changes
     and tile boundaries stay bit-identical to the reference. The ±85°
     polar clamp is the reference's intentional discard and is honoured
-    (no pad below it)."""
+    (no pad below it) — which carries a documented residual: data in the
+    sub-alignment band between to_map_unit(-85) and its round-up is
+    still excluded, because the PLANET density grid itself starts at the
+    rounded clamp (density_cells' containment filter) — exactly the
+    reference's near-pole behavior (DensityMapCollector never counts
+    those nodes either). Fixing it would mean diverging from the
+    TestRounding-pinned clamp semantics, not just padding here."""
     bbounds = round_area(exact_area, resolution)
     align = 1 << (24 - resolution)
     clamped_min_lat = max(exact_area.min_lat, to_map_unit(-85.0))

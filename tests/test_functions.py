@@ -292,3 +292,23 @@ def test_dedup_clusters_matches_union_find(spark):
                          spark.createDataFrame(pairs))
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == want
+
+
+def test_dedup_clusters_64bit_ids_no_overflow(spark):
+    """Fixpoint detection must not sum raw labels: with 64-bit
+    hash/snowflake-scale ids the label sum exceeds Long.MAX and ANSI
+    arithmetic would throw before one propagation round. The detector
+    sums a 0/1 improvement flag instead (bounded by the row count)."""
+    import pandas as pd
+    from osm2garmin_spark.functions.dedup import dedup_clusters
+
+    base = 9_100_000_000_000_000_000
+    ids = pd.DataFrame({"doc_id": [base + i for i in range(40)]})
+    pairs = pd.DataFrame(
+        {"doc_a": [base + i for i in range(0, 38, 2)],
+         "doc_b": [base + i + 1 for i in range(0, 38, 2)]})
+    out = dedup_clusters(spark.createDataFrame(ids),
+                         spark.createDataFrame(pairs))
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert all(got[base + i] == base + (i - i % 2) for i in range(38))
+    assert got[base + 38] == base + 38 and got[base + 39] == base + 39

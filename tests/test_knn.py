@@ -154,9 +154,8 @@ def test_stratified_matches_broadcast_and_cuts_candidates(spark):
     cell_global = tune_cell_deg(nd, 3)
     cand_global = candidates([(cell_global, np.ones(len(q), dtype=bool))])
 
-    stats, cell_map, stratum_cells = plan_strata(nd, 3, coarse=32, n_strata=3)
-    step_lat = max(stats["lat1"] - stats["lat0"], 1e-9) / 32
-    step_lon = max(stats["lon1"] - stats["lon0"], 1e-9) / 32
+    stats, cell_map, stratum_cells, (step_lat, step_lon) = plan_strata(
+        nd, 3, coarse=32, n_strata=3)
     smap = {(ix, iy): s for ix, iy, s in cell_map}
     qix = np.clip(np.floor((q["q_lat"].to_numpy() - stats["lat0"])
                            / step_lat), 0, 31).astype(int)
