@@ -481,7 +481,7 @@ def knn_grid_stratified(queries: DataFrame, neighbors: DataFrame, k: int,
 
     The stratum map is ≤ coarse² rows and broadcast into the query-side
     assignment join; queries in unoccupied cells (no neighbors nearby)
-    fall to stratum 0, the sparsest band with the largest cell. Each
+    fall to the sparsest existing band (the largest cell). Each
     stratum's knn_grid call is an independent DataFrame branch off ONE
     checkpointed assignment — the union composes like any other plan.
     """
@@ -500,21 +500,40 @@ def knn_grid_stratified(queries: DataFrame, neighbors: DataFrame, k: int,
     qiy = F.greatest(F.least(
         F.floor((F.col(q_lon) - F.lit(stats["lon0"])) / F.lit(step_lon)),
         F.lit(coarse - 1)), F.lit(0)).cast("int")
+    # queries in unoccupied coarse cells (no neighbors nearby) fall to
+    # the sparsest EXISTING band — not literal stratum 0, which can be
+    # empty under heavy skew (equal-point-mass banding puts the first
+    # sorted cell in band >= 1 when it alone exceeds total/n_strata
+    # points) and an empty default band would silently drop its queries
+    sparsest = min(stratum_cells)
     assigned = (queries.select(q_id, q_lat, q_lon,
                                qix.alias("_ix"), qiy.alias("_iy"))
                 .join(F.broadcast(m), ["_ix", "_iy"], "left")
                 .withColumn("_stratum",
-                            F.coalesce(F.col("_stratum"), F.lit(0)))
+                            F.coalesce(F.col("_stratum"), F.lit(sparsest)))
                 .select(q_id, q_lat, q_lon, "_stratum")
                 .localCheckpoint(eager=True))
+    # one tiny agg on the checkpointed assignment: strata with zero
+    # queries are skipped outright — knn_grid would otherwise still run
+    # its full eager job cadence (checkpoints + per-level aggregates)
+    # for an empty branch
+    occupied = {r["_stratum"] for r in
+                assigned.select("_stratum").distinct().collect()}
     parts = []
     for s, cell_s in sorted(stratum_cells.items()):
+        if s not in occupied:
+            continue
         qs = assigned.filter(F.col("_stratum") == s).drop("_stratum")
         parts.append(knn_grid(qs, neighbors, k, cell_deg=cell_s,
                               q_id=q_id, q_lat=q_lat, q_lon=q_lon,
                               n_id=n_id, n_lat=n_lat, n_lon=n_lon,
                               max_levels=max_levels,
                               neighbor_stats=stats))
+    if not parts:
+        q_id_t = queries.schema[q_id].dataType.simpleString()
+        n_id_t = neighbors.schema[n_id].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{q_id} {q_id_t}, {n_id} {n_id_t}, rnk int")
     result = parts[0]
     for p in parts[1:]:
         result = result.unionByName(p)

@@ -170,3 +170,38 @@ def test_stratified_matches_broadcast_and_cuts_candidates(spark):
     cells = [stratum_cells[s] for s in sorted(stratum_cells)]
     assert cells[-1] < cells[0]
     assert cand_strat < 0.6 * cand_global, (cand_strat, cand_global)
+
+
+def test_stratified_skewed_single_cell_and_outside_queries(spark):
+    """Degenerate banding: nearly all neighbors in ONE coarse cell makes
+    equal-point-mass banding start above stratum 0, so stratum 0 has no
+    cells — queries landing in unoccupied coarse cells (or outside the
+    neighbor extent entirely) must fall to the sparsest EXISTING band
+    and still be answered exactly; empty bands must be skipped, not
+    crash."""
+    from osm2garmin_spark.operators.knn import knn_grid_stratified
+
+    rng = np.random.default_rng(31)
+    nb = pd.DataFrame({
+        "n_id": np.arange(2000),
+        "n_lat": np.concatenate([rng.uniform(5.0, 5.05, 1990),
+                                 rng.uniform(0, 10, 10)]),
+        "n_lon": np.concatenate([rng.uniform(5.0, 5.05, 1990),
+                                 rng.uniform(0, 10, 10)]),
+    })
+    q = pd.DataFrame({
+        "q_id": np.arange(60),
+        # 20 in the hot cell, 20 scattered, 20 OUTSIDE the extent
+        "q_lat": np.concatenate([rng.uniform(5.0, 5.05, 20),
+                                 rng.uniform(0, 10, 20),
+                                 rng.uniform(14, 15, 20)]),
+        "q_lon": np.concatenate([rng.uniform(5.0, 5.05, 20),
+                                 rng.uniform(0, 10, 20),
+                                 rng.uniform(-6, -5, 20)]),
+    })
+    qd, nd = spark.createDataFrame(q), spark.createDataFrame(nb)
+    got = sorted(map(tuple,
+                     knn_grid_stratified(qd, nd, 3, coarse=16,
+                                         n_strata=4).collect()))
+    want = sorted(map(tuple, knn_broadcast(qd, nd, 3).collect()))
+    assert got == want
