@@ -29,6 +29,12 @@ driver (Iceberg's own metadata discipline), with data files written under
 per-attempt roots so simultaneous writers share no mutable path at all —
 two racing run_tiling_resumable invocations both succeed, and the reader
 deterministically keeps one committed attempt per tile.
+
+The hard-link CAS below assumes ONE shared POSIX filesystem. For the
+object-store deployment (no atomic link/rename), ``pipeline/catalog.py``
+provides the Iceberg-REST-style split: immutable UUID manifest blobs
+plus a catalog service owning the sequence CAS — same induction, same
+conflict semantics, atomicity moved into the service.
 """
 
 from __future__ import annotations

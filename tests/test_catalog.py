@@ -1,0 +1,115 @@
+"""Catalog-service commit arbitration: the Iceberg-REST-style split of
+the lineage protocol — immutable UUID manifest blobs (no filesystem
+atomicity used at all) + a compare-and-swap sequence owned by a catalog
+service. Same induction as the hard-link CAS, atomicity moved into the
+service; orphan blobs are invisible to readers."""
+
+import os
+import random
+import threading
+import time
+
+import pytest
+
+from osm2garmin_spark.pipeline.catalog import (
+    CatalogClient, CatalogServer, commit_with_catalog, read_catalog_lineage)
+from osm2garmin_spark.pipeline.lineage import CommitConflict
+
+
+@pytest.fixture()
+def catalog():
+    srv = CatalogServer().start()
+    yield CatalogClient(srv.url)
+    srv.stop()
+
+
+def _stats_df(spark, tile_ids):
+    return spark.createDataFrame(
+        [(t, 10, t * 7, t * 100, t * 100 + 9) for t in tile_ids],
+        "tile_id int, n_rows long, digest long, min_id long, max_id long")
+
+
+def test_catalog_cas_conflict_and_state(spark, tmp_path, catalog):
+    d = str(tmp_path / "cat")
+    got_a = commit_with_catalog(d, spark, "assign", "a",
+                                _stats_df(spark, [1, 2, 3]), catalog)
+    assert got_a == {1, 2, 3}
+    # second writer overlapping {2,3}: write-time drop, only 4 commits
+    got_b = commit_with_catalog(d, spark, "assign", "b",
+                                _stats_df(spark, [2, 3, 4]), catalog)
+    assert got_b == {4}
+    # 'error' mode raises
+    with pytest.raises(CommitConflict, match="already committed"):
+        commit_with_catalog(d, spark, "assign", "c",
+                            _stats_df(spark, [4, 5]), catalog,
+                            on_conflict="error")
+    st = catalog.state("lineage")
+    assert st["seq"] == 2 and len(st["manifests"]) == 2
+
+
+def test_catalog_eight_writer_race_one_row_per_tile(spark, tmp_path, catalog):
+    """8 writers, seeded random subsets/chunks/jitter against the
+    catalog CAS: every tile vouched for by exactly one committed
+    manifest row; winners partition the input universe."""
+    d = str(tmp_path / "cat8")
+    tiles = list(range(100, 124))
+    committed, errors = {}, {}
+
+    def writer(widx):
+        rng = random.Random(2000 + widx)
+        mine = rng.sample(tiles, k=16)
+        got = set()
+        try:
+            i = 0
+            while i < len(mine):
+                chunk = mine[i:i + rng.randint(2, 6)]
+                i += len(chunk)
+                time.sleep(rng.random() * 0.01)
+                got |= commit_with_catalog(
+                    d, spark, "assign", f"w{widx}",
+                    _stats_df(spark, chunk), catalog)
+            committed[widx] = got
+        except Exception as e:  # noqa: BLE001
+            errors[widx] = e
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    all_claimed = [t for s in committed.values() for t in s]
+    assert len(all_claimed) == len(set(all_claimed)), "double-committed tile"
+    union_input = set()
+    for widx in range(8):
+        union_input |= set(random.Random(2000 + widx).sample(tiles, k=16))
+    assert set(all_claimed) == union_input
+
+    lin = read_catalog_lineage(spark, d, catalog).filter("stage = 'assign'")
+    per_tile = lin.groupBy("tile_id").count().collect()
+    assert {r["tile_id"] for r in per_tile} == union_input
+    assert all(r["count"] == 1 for r in per_tile)
+
+
+def test_catalog_orphan_blobs_invisible(spark, tmp_path, catalog):
+    """A manifest blob written but never CAS-committed (crash between
+    blob write and catalog swap) must be invisible to readers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "orph")
+    commit_with_catalog(d, spark, "assign", "ok",
+                        _stats_df(spark, [1, 2]), catalog)
+    mdir = os.path.join(d, "_lineage_catalog")
+    orphan = pa.table({
+        "stage": pa.array(["assign"]), "tile_id": pa.array([99], pa.int32()),
+        "n_rows": pa.array([1], pa.int64()), "digest": pa.array([0], pa.int64()),
+        "min_id": pa.array([0], pa.int64()), "max_id": pa.array([0], pa.int64()),
+        "run_id": pa.array(["crash"]), "attempt": pa.array(["crash-a"]),
+        "ts": pa.array([0.0], pa.float64())})
+    pq.write_table(orphan, os.path.join(mdir, "deadbeef-orphan.parquet"))
+
+    lin = read_catalog_lineage(spark, d, catalog)
+    tiles = {r["tile_id"] for r in lin.collect()}
+    assert tiles == {1, 2}          # orphan's tile 99 never appears
