@@ -519,16 +519,30 @@ def knn_grid_stratified(queries: DataFrame, neighbors: DataFrame, k: int,
     # for an empty branch
     occupied = {r["_stratum"] for r in
                 assigned.select("_stratum").distinct().collect()}
-    parts = []
-    for s, cell_s in sorted(stratum_cells.items()):
-        if s not in occupied:
-            continue
+    todo = [(s, c) for s, c in sorted(stratum_cells.items())
+            if s in occupied]
+
+    def _run(sc):
+        s, cell_s = sc
         qs = assigned.filter(F.col("_stratum") == s).drop("_stratum")
-        parts.append(knn_grid(qs, neighbors, k, cell_deg=cell_s,
-                              q_id=q_id, q_lat=q_lat, q_lon=q_lon,
-                              n_id=n_id, n_lat=n_lat, n_lon=n_lon,
-                              max_levels=max_levels,
-                              neighbor_stats=stats))
+        return knn_grid(qs, neighbors, k, cell_deg=cell_s,
+                        q_id=q_id, q_lat=q_lat, q_lon=q_lon,
+                        n_id=n_id, n_lat=n_lat, n_lon=n_lon,
+                        max_levels=max_levels, neighbor_stats=stats)
+
+    # the branches are independent exact pipelines whose cost at bench
+    # scale is dominated by eager-action latency (checkpoints + per-level
+    # 1-row aggregates), not data — run them CONCURRENTLY from driver
+    # threads so those fixed latencies overlap; the Spark scheduler
+    # interleaves the jobs and each branch's plan is identical to the
+    # sequential build (results deterministic, pinned by the equality
+    # tests)
+    if len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(todo)) as ex:
+            parts = list(ex.map(_run, todo))
+    else:
+        parts = [_run(sc) for sc in todo]
     if not parts:
         q_id_t = queries.schema[q_id].dataType.simpleString()
         n_id_t = neighbors.schema[n_id].dataType.simpleString()
