@@ -486,13 +486,18 @@ def knn_grid_stratified(queries: DataFrame, neighbors: DataFrame, k: int,
     checkpointed assignment — the union composes like any other plan.
     """
     spark = queries.sparkSession
+
+    def _empty():
+        q_id_t = queries.schema[q_id].dataType.simpleString()
+        n_id_t = neighbors.schema[n_id].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{q_id} {q_id_t}, {n_id} {n_id_t}, rnk int")
+
     stats, cell_map, stratum_cells, (step_lat, step_lon) = plan_strata(
         neighbors, k, coarse, n_strata, n_lat, n_lon)
     if stats is None:
         # no neighbors at all — empty result with the contract schema
-        q_id_t = queries.schema[q_id].dataType.simpleString()
-        n_id_t = neighbors.schema[n_id].dataType.simpleString()
-        return spark.createDataFrame([], f"{q_id} {q_id_t}, {n_id} {n_id_t}, rnk int")
+        return _empty()
     m = spark.createDataFrame(cell_map, "_ix int, _iy int, _stratum int")
     qix = F.greatest(F.least(
         F.floor((F.col(q_lat) - F.lit(stats["lat0"])) / F.lit(step_lat)),
@@ -544,10 +549,7 @@ def knn_grid_stratified(queries: DataFrame, neighbors: DataFrame, k: int,
     else:
         parts = [_run(sc) for sc in todo]
     if not parts:
-        q_id_t = queries.schema[q_id].dataType.simpleString()
-        n_id_t = neighbors.schema[n_id].dataType.simpleString()
-        return spark.createDataFrame(
-            [], f"{q_id} {q_id_t}, {n_id} {n_id_t}, rnk int")
+        return _empty()
     result = parts[0]
     for p in parts[1:]:
         result = result.unionByName(p)

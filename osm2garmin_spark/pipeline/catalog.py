@@ -43,13 +43,16 @@ from __future__ import annotations
 import json
 import os
 import threading
+import urllib.error
+import urllib.parse
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Set
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .lineage import LINEAGE_SCHEMA
+from .lineage import (LINEAGE_SCHEMA, CommitConflict, collect_tile_rows,
+                      manifest_table, tiles_in_manifests)
 
 
 class CatalogServer:
@@ -74,11 +77,14 @@ class CatalogServer:
             def do_GET(self):
                 if not self.path.startswith("/state/"):
                     return self._send(404, {"error": "unknown endpoint"})
-                table = self.path[len("/state/"):]
+                table = urllib.parse.unquote(self.path[len("/state/"):])
+                # snapshot under the lock, write the response AFTER
+                # releasing it — a stalled client socket must never hold
+                # the commit CAS hostage
                 with lock:
                     t = state["tables"].get(table, {"seq": 0, "manifests": []})
-                    self._send(200, {"seq": t["seq"],
-                                     "manifests": list(t["manifests"])})
+                    snap = {"seq": t["seq"], "manifests": list(t["manifests"])}
+                self._send(200, snap)
 
             def do_POST(self):
                 if self.path != "/commit":
@@ -90,14 +96,16 @@ class CatalogServer:
                     t = state["tables"].setdefault(
                         table, {"seq": 0, "manifests": []})
                     if t["seq"] != req["expected_seq"]:
-                        # CAS failure: report the authoritative state so
-                        # the committer can re-read without a second round
-                        return self._send(409, {
-                            "seq": t["seq"],
-                            "manifests": list(t["manifests"])})
-                    t["seq"] += 1
-                    t["manifests"].append(req["manifest"])
-                    self._send(200, {"seq": t["seq"]})
+                        # CAS failure: the authoritative state rides the
+                        # 409 body so the committer's retry loop needs no
+                        # second round trip
+                        code, body = 409, {"seq": t["seq"],
+                                           "manifests": list(t["manifests"])}
+                    else:
+                        t["seq"] += 1
+                        t["manifests"].append(req["manifest"])
+                        code, body = 200, {"seq": t["seq"]}
+                self._send(code, body)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.url = f"http://{host}:{self._httpd.server_address[1]}"
@@ -118,13 +126,16 @@ class CatalogClient:
         self.base_url = base_url.rstrip("/")
 
     def state(self, table: str) -> dict:
-        with urllib.request.urlopen(f"{self.base_url}/state/{table}") as r:
+        quoted = urllib.parse.quote(table, safe="")
+        with urllib.request.urlopen(f"{self.base_url}/state/{quoted}") as r:
             return json.loads(r.read())
 
     def commit(self, table: str, expected_seq: int,
-               manifest: str) -> Optional[dict]:
-        """Returns the new state on success, None on CAS conflict (the
-        conflict body is re-read via state() by the caller's loop)."""
+               manifest: str) -> tuple:
+        """(ok, state): on success state is the new {'seq': n}; on CAS
+        conflict ok=False and state is the AUTHORITATIVE current state
+        from the 409 body — the retry loop consumes it directly, no
+        second round trip."""
         body = json.dumps({"table": table, "expected_seq": expected_seq,
                            "manifest": manifest}).encode()
         req = urllib.request.Request(
@@ -132,10 +143,10 @@ class CatalogClient:
             headers={"Content-Type": "application/json"})
         try:
             with urllib.request.urlopen(req) as r:
-                return json.loads(r.read())
+                return True, json.loads(r.read())
         except urllib.error.HTTPError as e:
             if e.code == 409:
-                return None
+                return False, json.loads(e.read())
             raise
 
 
@@ -145,51 +156,45 @@ def _manifest_dir(root: str) -> str:
     return d
 
 
+def _table_key(root: str, table: Optional[str]) -> str:
+    """Default catalog key = the root's absolute path, so two roots
+    sharing one catalog server are isolated automatically — with a plain
+    shared default name, root B's conflict read would try to open blob
+    names committed under root A's directory. Pass an explicit table
+    only when several writers intentionally share one root."""
+    return table if table is not None else f"lineage@{os.path.abspath(root)}"
+
+
 def commit_with_catalog(root: str, spark: SparkSession, stage: str,
                         run_id: str, tile_stats: DataFrame,
-                        client: CatalogClient, table: str = "lineage",
+                        client: CatalogClient, table: Optional[str] = None,
                         attempt: str = "",
                         on_conflict: str = "drop") -> Set[int]:
     """Catalog-arbitrated twin of LineageStore.commit (same contract:
     returns the committed tile set, 'drop' or 'error' on conflict).
 
-    The manifest file is written ONCE under a UUID name — object-store
+    The manifest file is written under a UUID name — object-store
     friendly: no rename, no link, no name coordination. Visibility comes
     solely from the catalog referencing it; a crash between the blob
-    write and the CAS leaves an orphan file no reader ever sees."""
+    write and the CAS leaves an orphan file no reader ever sees (and a
+    CAS loser deletes its own blob before retrying, so contention does
+    not leak files)."""
     import time as _time
     import uuid as _uuid
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from .lineage import CommitConflict
-
-    has_stats = ("min_id" in tile_stats.columns
-                 and "max_id" in tile_stats.columns)
-    cols = ["tile_id", "n_rows", "digest"] + (
-        ["min_id", "max_id"] if has_stats else [])
-    rows = [(int(r["tile_id"]), int(r["n_rows"]), int(r["digest"]),
-             int(r["min_id"]) if has_stats and r["min_id"] is not None
-             else None,
-             int(r["max_id"]) if has_stats and r["max_id"] is not None
-             else None)
-            for r in tile_stats.select(*cols).collect()]
+    table = _table_key(root, table)
+    rows = collect_tile_rows(tile_stats)
     mdir = _manifest_dir(root)
 
+    st = client.state(table)
     while True:
-        st = client.state(table)
         expected = st["seq"]
         # conflict read over the manifests the CATALOG references — the
         # authoritative committed set (listdir would also see orphans)
-        taken: Set[int] = set()
-        for name in st["manifests"]:
-            t = pq.read_table(os.path.join(mdir, name),
-                              columns=["stage", "tile_id"])
-            for s, i in zip(t.column("stage").to_pylist(),
-                            t.column("tile_id").to_pylist()):
-                if s == stage:
-                    taken.add(int(i))
+        taken = tiles_in_manifests(
+            (os.path.join(mdir, n) for n in st["manifests"]), stage)
         lost = {r[0] for r in rows} & taken
         if lost:
             if on_conflict == "error":
@@ -200,33 +205,27 @@ def commit_with_catalog(root: str, spark: SparkSession, stage: str,
             if not rows:
                 return set()
         name = f"{_uuid.uuid4().hex}.parquet"
-        now = _time.time()
-        tbl = pa.table({
-            "stage": pa.array([stage] * len(rows), pa.string()),
-            "tile_id": pa.array([r[0] for r in rows], pa.int32()),
-            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
-            "digest": pa.array([r[2] for r in rows], pa.int64()),
-            "min_id": pa.array([r[3] for r in rows], pa.int64()),
-            "max_id": pa.array([r[4] for r in rows], pa.int64()),
-            "run_id": pa.array([run_id] * len(rows), pa.string()),
-            "attempt": pa.array([attempt] * len(rows), pa.string()),
-            "ts": pa.array([now] * len(rows), pa.float64()),
-        })
-        pq.write_table(tbl, os.path.join(mdir, name))
-        if client.commit(table, expected, name) is not None:
+        path = os.path.join(mdir, name)
+        pq.write_table(
+            manifest_table(rows, stage, run_id, attempt, _time.time()),
+            path)
+        ok, st = client.commit(table, expected, name)
+        if ok:
             return {r[0] for r in rows}
-        # CAS conflict: the blob we wrote is an orphan (invisible); loop
-        # re-reads the fresh catalog state and re-filters
+        # CAS conflict: delete our now-unreferenced blob (no leak under
+        # contention) and loop on the authoritative state the 409 body
+        # carried — no extra state() round trip
+        os.unlink(path)
 
 
 def read_catalog_lineage(spark: SparkSession, root: str,
                          client: CatalogClient,
-                         table: str = "lineage") -> DataFrame:
+                         table: Optional[str] = None) -> DataFrame:
     """Lineage DataFrame over ONLY the catalog-referenced manifests —
     orphan blobs in the store directory are invisible (Iceberg's
     reader-side contract)."""
     mdir = _manifest_dir(root)
-    names = client.state(table)["manifests"]
+    names = client.state(_table_key(root, table))["manifests"]
     if not names:
         return spark.createDataFrame([], LINEAGE_SCHEMA)
     paths = [os.path.join(mdir, n) for n in names]

@@ -61,6 +61,59 @@ class CommitConflict(RuntimeError):
     (optimistic-concurrency conflict, detected at write time)."""
 
 
+def collect_tile_rows(tile_stats: DataFrame) -> list:
+    """(tile_id, n_rows, digest, min_id, max_id) tuples from a tile-stats
+    DataFrame; min/max stats are optional columns (None when absent).
+    Shared by LineageStore.commit and catalog.commit_with_catalog so the
+    manifest row shape has exactly one definition."""
+    has_stats = ("min_id" in tile_stats.columns
+                 and "max_id" in tile_stats.columns)
+    cols = ["tile_id", "n_rows", "digest"] + (
+        ["min_id", "max_id"] if has_stats else [])
+    return [(int(r["tile_id"]), int(r["n_rows"]), int(r["digest"]),
+             int(r["min_id"]) if has_stats and r["min_id"] is not None
+             else None,
+             int(r["max_id"]) if has_stats and r["max_id"] is not None
+             else None)
+            for r in tile_stats.select(*cols).collect()]
+
+
+def manifest_table(rows: list, stage: str, run_id: str, attempt: str,
+                   ts: float):
+    """The ONE manifest arrow-table constructor (must stay in lockstep
+    with LINEAGE_SCHEMA) — both commit paths call this, so a schema
+    change cannot drift between them."""
+    import pyarrow as pa
+
+    return pa.table({
+        "stage": pa.array([stage] * len(rows), pa.string()),
+        "tile_id": pa.array([r[0] for r in rows], pa.int32()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "digest": pa.array([r[2] for r in rows], pa.int64()),
+        "min_id": pa.array([r[3] for r in rows], pa.int64()),
+        "max_id": pa.array([r[4] for r in rows], pa.int64()),
+        "run_id": pa.array([run_id] * len(rows), pa.string()),
+        "attempt": pa.array([attempt] * len(rows), pa.string()),
+        "ts": pa.array([ts] * len(rows), pa.float64()),
+    })
+
+
+def tiles_in_manifests(paths, stage: str) -> Set[int]:
+    """Tile ids a list of committed manifest files vouch for at ``stage``
+    — the shared conflict-read kernel (filesystem path: every listdir'd
+    manifest; catalog path: exactly the catalog-referenced blobs)."""
+    import pyarrow.parquet as pq
+
+    out: Set[int] = set()
+    for p in paths:
+        t = pq.read_table(p, columns=["stage", "tile_id"])
+        for s, i in zip(t.column("stage").to_pylist(),
+                        t.column("tile_id").to_pylist()):
+            if s == stage:
+                out.add(int(i))
+    return out
+
+
 class LineageStore:
     def __init__(self, root: str):
         self.root = root
@@ -104,19 +157,10 @@ class LineageStore:
     def _committed_tiles_fs(self, stage: str) -> Set[int]:
         """Driver-side scan of every committed manifest (pyarrow, zero
         Spark jobs) — the optimistic-concurrency read set."""
-        import pyarrow.parquet as pq
-
-        out: Set[int] = set()
-        for f in os.listdir(self.lineage_dir):
-            if not f.endswith(".parquet"):
-                continue
-            t = pq.read_table(os.path.join(self.lineage_dir, f),
-                              columns=["stage", "tile_id"])
-            for s, i in zip(t.column("stage").to_pylist(),
-                            t.column("tile_id").to_pylist()):
-                if s == stage:
-                    out.add(int(i))
-        return out
+        return tiles_in_manifests(
+            (os.path.join(self.lineage_dir, f)
+             for f in os.listdir(self.lineage_dir)
+             if f.endswith(".parquet")), stage)
 
     def _max_seq(self) -> int:
         mx = 0
@@ -176,19 +220,9 @@ class LineageStore:
         time); ``'error'`` raises CommitConflict."""
         import uuid as _uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        has_stats = ("min_id" in tile_stats.columns
-                     and "max_id" in tile_stats.columns)
-        cols = ["tile_id", "n_rows", "digest"] + (
-            ["min_id", "max_id"] if has_stats else [])
-        rows = [(int(r["tile_id"]), int(r["n_rows"]), int(r["digest"]),
-                 int(r["min_id"]) if has_stats and r["min_id"] is not None
-                 else None,
-                 int(r["max_id"]) if has_stats and r["max_id"] is not None
-                 else None)
-                for r in tile_stats.select(*cols).collect()]
+        rows = collect_tile_rows(tile_stats)
         name = attempt or _uuid.uuid4().hex
         tmp = os.path.join(self.lineage_dir, f".{name}.tmp")
         while True:
@@ -214,19 +248,9 @@ class LineageStore:
                         if os.path.exists(tmp):
                             os.unlink(tmp)
                         return set()
-            now = time.time()
-            tbl = pa.table({
-                "stage": pa.array([stage] * len(rows), pa.string()),
-                "tile_id": pa.array([r[0] for r in rows], pa.int32()),
-                "n_rows": pa.array([r[1] for r in rows], pa.int64()),
-                "digest": pa.array([r[2] for r in rows], pa.int64()),
-                "min_id": pa.array([r[3] for r in rows], pa.int64()),
-                "max_id": pa.array([r[4] for r in rows], pa.int64()),
-                "run_id": pa.array([run_id] * len(rows), pa.string()),
-                "attempt": pa.array([attempt] * len(rows), pa.string()),
-                "ts": pa.array([now] * len(rows), pa.float64()),
-            })
-            pq.write_table(tbl, tmp)
+            pq.write_table(
+                manifest_table(rows, stage, run_id, attempt, time.time()),
+                tmp)
             # the claim target is the BARE sequence number: every writer
             # racing for seq s links the SAME path, so exactly one link
             # succeeds and every loser re-reads. Round 3 suffixed the
@@ -242,11 +266,18 @@ class LineageStore:
             except FileExistsError:
                 continue        # a racer claimed this seq — rescan, retry
             except OSError:
-                # filesystem without hard links: atomic rename still gives
-                # immutable per-commit files, but the claim is last-writer
-                # -wins rather than CAS (seq collisions overwrite) — the
-                # reader's winner resolution remains the safety net there
-                os.replace(tmp, final)
+                # filesystem without hard links: there is no CAS primitive
+                # at all here, so fall back to a writer-UNIQUE name — an
+                # os.replace onto the shared m{seq} path would let a racer
+                # OVERWRITE an already-committed (and already-reported-
+                # committed) manifest, silently losing its tiles. Unique
+                # names mean the total-order claim degrades to unordered
+                # commits (duplicates possible) and the reader's winner
+                # resolution is the documented safety net; _max_seq still
+                # parses the suffixed form. The real object-store answer
+                # is the catalog service (pipeline/catalog.py).
+                os.replace(tmp, os.path.join(
+                    self.lineage_dir, f"m{seq:08d}-{name}.parquet"))
                 return {r[0] for r in rows}
             os.unlink(tmp)
             return {r[0] for r in rows}

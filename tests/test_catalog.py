@@ -43,8 +43,28 @@ def test_catalog_cas_conflict_and_state(spark, tmp_path, catalog):
         commit_with_catalog(d, spark, "assign", "c",
                             _stats_df(spark, [4, 5]), catalog,
                             on_conflict="error")
-    st = catalog.state("lineage")
+    from osm2garmin_spark.pipeline.catalog import _table_key
+    st = catalog.state(_table_key(d, None))
     assert st["seq"] == 2 and len(st["manifests"]) == 2
+
+
+def test_catalog_roots_isolated_by_default(spark, tmp_path, catalog):
+    """Two roots sharing one catalog server must not see each other's
+    state: the default table key derives from the root path, so root B's
+    conflict read never tries to open blob names committed under root A
+    (a shared plain name would FileNotFoundError mid-commit)."""
+    da, db = str(tmp_path / "rootA"), str(tmp_path / "rootB")
+    assert commit_with_catalog(da, spark, "assign", "a",
+                               _stats_df(spark, [1, 2]), catalog) == {1, 2}
+    # same tiles under root B: a DIFFERENT table, no conflict, no
+    # cross-root manifest reads
+    assert commit_with_catalog(db, spark, "assign", "b",
+                               _stats_df(spark, [1, 2]), catalog) == {1, 2}
+    la = {r["tile_id"]: r["run_id"] for r in
+          read_catalog_lineage(spark, da, catalog).collect()}
+    lb = {r["tile_id"]: r["run_id"] for r in
+          read_catalog_lineage(spark, db, catalog).collect()}
+    assert la == {1: "a", 2: "a"} and lb == {1: "b", 2: "b"}
 
 
 def test_catalog_eight_writer_race_one_row_per_tile(spark, tmp_path, catalog):
