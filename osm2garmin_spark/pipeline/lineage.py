@@ -304,7 +304,8 @@ def tile_digests(assigned: DataFrame, id_col: str) -> DataFrame:
 def committed_pairs(spark: SparkSession, out_dir: str,
                     stage: str = "assign",
                     as_of: Optional[float] = None,
-                    id_between: Optional[tuple] = None) -> DataFrame:
+                    id_between: Optional[tuple] = None,
+                    lineage_df: Optional[DataFrame] = None) -> DataFrame:
     """(tile_id, attempt) of the winning committed attempt per tile —
     the reader's file-selection set.
 
@@ -314,9 +315,14 @@ def committed_pairs(spark: SparkSession, out_dir: str,
     column stats (min_id/max_id, Iceberg lower/upper bounds) prove no row
     can fall in [lo, hi] are dropped — their data files are never opened.
     Manifests from before the stats columns existed read as null and stay
-    unprunable (correct, not merely compatible)."""
-    store = LineageStore(out_dir)
-    lin = store.read(spark).filter(F.col("stage") == stage)
+    unprunable (correct, not merely compatible).
+
+    ``lineage_df``: alternative lineage source — e.g.
+    catalog.read_catalog_lineage for a catalog-committed table; the
+    winner/pruning logic is backend-independent."""
+    if lineage_df is None:
+        lineage_df = LineageStore(out_dir).read(spark)
+    lin = lineage_df.filter(F.col("stage") == stage)
     if as_of is not None:
         lin = lin.filter(F.col("ts") <= float(as_of))
     w = Window.partitionBy("tile_id").orderBy(F.col("ts").asc(),
@@ -337,7 +343,8 @@ def read_committed_assigned(spark: SparkSession, out_dir: str,
                             stage: str = "assign",
                             as_of: Optional[float] = None,
                             id_between: Optional[tuple] = None,
-                            id_col: str = "event_id") -> DataFrame:
+                            id_col: str = "event_id",
+                            lineage_df: Optional[DataFrame] = None) -> DataFrame:
     """Read back ONLY data files vouched for by a committed lineage row.
 
     Orphan files from an attempt that crashed between its data write and
@@ -359,7 +366,8 @@ def read_committed_assigned(spark: SparkSession, out_dir: str,
       predicate — Iceberg's file-skipping contract: stats select a
       superset, the engine filters the remainder.
     """
-    pairs = committed_pairs(spark, out_dir, stage, as_of, id_between)
+    pairs = committed_pairs(spark, out_dir, stage, as_of, id_between,
+                            lineage_df=lineage_df)
     attempts = [r["attempt"] for r in pairs.select("attempt").distinct().collect()]
     df = spark.read.parquet(os.path.join(out_dir, "assigned"))
     out = (df.filter(F.col("attempt").isin(attempts))
@@ -393,6 +401,7 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
                          lat_col: str = "lat", lon_col: str = "lon",
                          run_id: str = "run", fail_after_tiles: int = -1,
                          fail_before_commit: bool = False,
+                         catalog=None,
                          ) -> dict:
     """Resumable pass-1 + pass-2: reuses the persisted tile list, skips
     tiles whose 'assign' lineage rows exist, writes per-tile parquet under
@@ -402,6 +411,13 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
     ``fail_before_commit`` injects a crash after the data write but before
     the lineage commit (the orphan-files scenario) — test hooks for the
     kill/resume scenarios.
+
+    ``catalog``: a catalog.CatalogClient — commits then go through the
+    catalog-service CAS (immutable UUID manifest blobs, no filesystem
+    atomicity; pipeline/catalog.py) instead of the hard-link claim, and
+    the completed-tiles read comes from the manifests the catalog
+    references (zero Spark jobs). Read the results with
+    ``read_committed_assigned(..., lineage_df=read_catalog_lineage(...))``.
 
     Returns {"tiles": n, "processed": n_new, "skipped": n_skipped}.
     """
@@ -418,7 +434,14 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
         tiles = split_area(grid, exact, resolution, max_nodes)
         store.save_tiles(tiles)
 
-    done = store.completed(spark, "assign")
+    if catalog is not None:
+        from .catalog import _manifest_dir, _table_key
+        st = catalog.state(_table_key(out_dir, None))
+        mdir = _manifest_dir(out_dir)
+        done = tiles_in_manifests(
+            (os.path.join(mdir, n) for n in st["manifests"]), "assign")
+    else:
+        done = store.completed(spark, "assign")
     pending = [t for t in tiles if t.map_id not in done]
     if fail_after_tiles >= 0:
         pending = pending[:fail_after_tiles]
@@ -449,8 +472,14 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
         # optimistic concurrency: a racer that committed any of our tiles
         # since completed() wins them; our files for those tiles become
         # dead files and we vouch only for the rest
-        committed = store.commit(spark, "assign", run_id, stats,
-                                 attempt=attempt, detect_conflicts=True)
+        if catalog is not None:
+            from .catalog import commit_with_catalog
+            committed = commit_with_catalog(out_dir, spark, "assign",
+                                            run_id, stats, catalog,
+                                            attempt=attempt)
+        else:
+            committed = store.commit(spark, "assign", run_id, stats,
+                                     attempt=attempt, detect_conflicts=True)
         processed = len(pending)
         lost = processed - len(committed)
         if lost:

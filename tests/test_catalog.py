@@ -133,3 +133,57 @@ def test_catalog_orphan_blobs_invisible(spark, tmp_path, catalog):
     lin = read_catalog_lineage(spark, d, catalog)
     tiles = {r["tile_id"] for r in lin.collect()}
     assert tiles == {1, 2}          # orphan's tile 99 never appears
+
+
+def test_catalog_backed_pipeline_eight_writers(spark, tmp_path, catalog):
+    """Full-pipeline integration of the catalog backend: 8 simultaneous
+    run_tiling_resumable(catalog=...) invocations. The catalog lineage
+    must hold exactly one committed row per tile and the reader (fed the
+    catalog lineage) must equal a single-shot filesystem-protocol run."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from osm2garmin_spark.expressions import derived_lat, derived_lon
+    from osm2garmin_spark.pipeline.lineage import (read_committed_assigned,
+                                                   run_tiling_resumable)
+
+    points = spark.range(0, 3000).select(
+        F.col("id").alias("event_id"),
+        derived_lat(F.col("id")).alias("lat"),
+        derived_lon(F.col("id")).alias("lon"))
+
+    d_ref = str(tmp_path / "cat_ref")
+    run_tiling_resumable(points, d_ref, max_nodes=300, run_id="ref")
+    expected = sorted(map(tuple, read_committed_assigned(spark, d_ref)
+                          .select("event_id", "tile_id").collect()))
+
+    d = str(tmp_path / "cat_pipe")
+    results, errors = {}, {}
+
+    def writer(name):
+        try:
+            results[name] = run_tiling_resumable(
+                points, d, max_nodes=300, run_id=name, catalog=catalog)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = e
+
+    threads = [threading.Thread(target=writer, args=(f"w{i}",))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    lin = read_catalog_lineage(spark, d, catalog)
+    per_tile = lin.filter("stage = 'assign'").groupBy("tile_id") \
+                  .count().collect()
+    assert per_tile and all(r["count"] == 1 for r in per_tile)
+    assert (sum(r.get("processed", 0) for r in results.values())
+            == len(per_tile))
+
+    got = sorted(map(tuple,
+                     read_committed_assigned(spark, d, lineage_df=lin)
+                     .select("event_id", "tile_id").collect()))
+    assert got == expected
