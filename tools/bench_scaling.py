@@ -21,13 +21,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _one(cores: int, rows: int) -> dict:
-    env = dict(os.environ, BENCH_CORPUS_ROWS=str(rows),
+    # BENCH_REPEATS=1: the child's inner best-of-2 is redundant here —
+    # run_pair already interleaves best-of-N at THIS level — and at
+    # >=10M rows the doubled low-core leg (plus 2-core corpus
+    # generation) blows the subprocess timeout
+    env = dict(os.environ, BENCH_CORPUS_ROWS=str(rows), BENCH_REPEATS="1",
                SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                  "/root/testdata/sf0.1"))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--cores", str(cores),
          "--only", "tiling_verified", "--corpus-rows", str(rows)],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800)
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600)
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
         sys.stderr.write(f"[bench_scaling] run cores={cores} produced no JSON; "
@@ -59,9 +63,10 @@ def main():
     ap.add_argument("--rows", type=int, default=6_000_000)
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--xn", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
-    lo, hi = run_pair(args.n, args.xn, args.rows)
+    lo, hi = run_pair(args.n, args.xn, args.rows, args.repeats)
     t_lo = lo["queries"]["tiling_verified"]
     t_hi = hi["queries"]["tiling_verified"]
     thr_lo = lo["tile_assignments"] / t_lo
