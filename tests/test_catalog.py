@@ -187,3 +187,226 @@ def test_catalog_backed_pipeline_eight_writers(spark, tmp_path, catalog):
                      read_committed_assigned(spark, d, lineage_df=lin)
                      .select("event_id", "tile_id").collect()))
     assert got == expected
+
+
+def test_catalog_wal_survives_restart(spark, tmp_path):
+    """A WAL-backed server restarted from its log resumes with identical
+    {seq, manifests}: committed history stays visible, orphans stay
+    invisible, and a resumed pipeline run skips completed tiles."""
+    from pyspark.sql import functions as F
+
+    from osm2garmin_spark.expressions import derived_lat, derived_lon
+    from osm2garmin_spark.pipeline.catalog import _table_key
+    from osm2garmin_spark.pipeline.lineage import (read_committed_assigned,
+                                                   run_tiling_resumable)
+
+    wal = str(tmp_path / "catalog.wal")
+    d = str(tmp_path / "walroot")
+    points = spark.range(0, 3000).select(
+        F.col("id").alias("event_id"),
+        derived_lat(F.col("id")).alias("lat"),
+        derived_lon(F.col("id")).alias("lon"))
+
+    srv1 = CatalogServer(wal_path=wal).start()
+    c1 = CatalogClient(srv1.url)
+    r1 = run_tiling_resumable(points, d, max_nodes=300, run_id="w1",
+                              fail_after_tiles=2, catalog=c1)
+    assert r1["processed"] == 2
+    st_before = c1.state(_table_key(d, None))
+    # plus an orphan blob the catalog never referenced (crash pre-CAS)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    orphan = pa.table({
+        "stage": pa.array(["assign"]), "tile_id": pa.array([999], pa.int32()),
+        "n_rows": pa.array([1], pa.int64()), "digest": pa.array([0], pa.int64()),
+        "min_id": pa.array([0], pa.int64()), "max_id": pa.array([0], pa.int64()),
+        "run_id": pa.array(["crash"]), "attempt": pa.array(["crash-a"]),
+        "ts": pa.array([0.0], pa.float64())})
+    pq.write_table(orphan, os.path.join(d, "_lineage_catalog",
+                                        "deadbeef-orphan.parquet"))
+    srv1.stop()
+
+    # restart from the WAL: identical state, orphan invisible after
+    # recovery, resume processes ONLY the remaining tiles
+    srv2 = CatalogServer(wal_path=wal).start()
+    c2 = CatalogClient(srv2.url)
+    try:
+        st_after = c2.state(_table_key(d, None))
+        assert st_after == st_before
+        lin = read_catalog_lineage(spark, d, c2)
+        assert 999 not in {r["tile_id"] for r in lin.collect()}
+
+        r2 = run_tiling_resumable(points, d, max_nodes=300, run_id="w2",
+                                  catalog=c2)
+        assert r2["skipped"] == 2
+        assert r2["processed"] == r2["tiles"] - 2
+
+        lin = read_catalog_lineage(spark, d, c2)
+        per_tile = lin.filter("stage = 'assign'").groupBy("tile_id") \
+                      .count().collect()
+        assert per_tile and all(r["count"] == 1 for r in per_tile)
+        # committed-before-crash tiles still carry run w1
+        runs = {r["tile_id"]: r["run_id"] for r in lin.collect()}
+        assert sorted(runs.values()).count("w1") == 2
+    finally:
+        srv2.stop()
+
+
+def test_catalog_wal_torn_tail_tolerated(tmp_path):
+    """A torn final WAL line (crash mid-append) stops replay there; the
+    durable prefix is recovered intact."""
+    wal = str(tmp_path / "torn.wal")
+    srv = CatalogServer(wal_path=wal).start()
+    c = CatalogClient(srv.url)
+    assert c.commit("t", 0, "m1.parquet")[0]
+    assert c.commit("t", 1, "m2.parquet")[0]
+    srv.stop()
+    with open(wal, "a") as f:
+        f.write('{"table": "t", "seq": 3, "manifest": "m3.pa')  # torn
+
+    srv2 = CatalogServer(wal_path=wal).start()
+    try:
+        st = CatalogClient(srv2.url).state("t")
+        assert st == {"seq": 2, "manifests": ["m1.parquet", "m2.parquet"]}
+    finally:
+        srv2.stop()
+
+
+def test_catalog_compaction(spark, tmp_path, catalog):
+    """compact_catalog rolls N referenced blobs into one summary via the
+    CAS'd replaces swap; rows verbatim, covered blobs deleted, conflict
+    detection still works against the summary."""
+    from osm2garmin_spark.pipeline.catalog import compact_catalog
+
+    d = str(tmp_path / "ccomp")
+    for i, chunk in enumerate(([1, 2], [3], [4, 5])):
+        commit_with_catalog(d, spark, "assign", f"r{i}",
+                            _stats_df(spark, chunk), catalog,
+                            attempt=f"a{i}")
+    before = sorted(map(tuple,
+                        read_catalog_lineage(spark, d, catalog).collect()))
+
+    res = compact_catalog(d, catalog)
+    assert res["compacted"] == 3
+    mdir = os.path.join(d, "_lineage_catalog")
+    blobs = [n for n in os.listdir(mdir) if n.endswith(".parquet")]
+    assert len(blobs) == 1 and blobs[0].startswith("summary-")
+
+    after = sorted(map(tuple,
+                       read_catalog_lineage(spark, d, catalog).collect()))
+    assert after == before                       # rows preserved verbatim
+    assert compact_catalog(d, catalog)["compacted"] == 0   # idempotent
+
+    # conflict detection consults the summary: overlapping tiles dropped
+    got = commit_with_catalog(d, spark, "assign", "late",
+                              _stats_df(spark, [5, 6]), catalog)
+    assert got == {6}
+
+
+def test_catalog_compaction_races_commits(spark, tmp_path, catalog):
+    """4 catalog committers + 2 compactors: exactly one committed row per
+    tile survives; compactor CAS losses and committer refetch-on-deleted-
+    blob paths both exercised."""
+    import random
+
+    from osm2garmin_spark.pipeline.catalog import compact_catalog
+
+    d = str(tmp_path / "ccomp_race")
+    tiles = list(range(300, 332))
+    committed, errors = {}, {}
+    done_flag = threading.Event()
+
+    def writer(widx):
+        rng = random.Random(5000 + widx)
+        mine = rng.sample(tiles, k=20)
+        got = set()
+        try:
+            i = 0
+            while i < len(mine):
+                chunk = mine[i:i + rng.randint(2, 5)]
+                i += len(chunk)
+                time.sleep(rng.random() * 0.01)
+                got |= commit_with_catalog(
+                    d, spark, "assign", f"w{widx}",
+                    _stats_df(spark, chunk), catalog,
+                    attempt=f"w{widx}-c{i}")
+            committed[widx] = got
+        except Exception as e:  # noqa: BLE001
+            errors[widx] = e
+
+    def compactor(cidx):
+        rng = random.Random(6000 + cidx)
+        try:
+            while not done_flag.is_set():
+                time.sleep(rng.random() * 0.02)
+                compact_catalog(d, catalog)
+        except Exception as e:  # noqa: BLE001
+            errors[f"c{cidx}"] = e
+
+    ws = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    cs = [threading.Thread(target=compactor, args=(c,)) for c in range(2)]
+    for t in ws + cs:
+        t.start()
+    for t in ws:
+        t.join()
+    done_flag.set()
+    for t in cs:
+        t.join()
+    assert not errors, errors
+
+    all_claimed = [t for s in committed.values() for t in s]
+    assert len(all_claimed) == len(set(all_claimed)), "double-committed tile"
+    union_input = set()
+    for widx in range(4):
+        union_input |= set(random.Random(5000 + widx).sample(tiles, k=20))
+    assert set(all_claimed) == union_input
+
+    lin = read_catalog_lineage(spark, d, catalog).filter("stage = 'assign'")
+    per_tile = lin.groupBy("tile_id").count().collect()
+    assert {r["tile_id"] for r in per_tile} == union_input
+    assert all(r["count"] == 1 for r in per_tile)
+
+
+def test_catalog_state_loss_warns(spark, tmp_path):
+    """ADVICE r4: seq==0 + non-empty blob store (restarted WAL-less
+    server) produces a one-time RuntimeWarning instead of silently
+    reprocessing history."""
+    import warnings as _warnings
+
+    d = str(tmp_path / "lost")
+    srv = CatalogServer().start()           # no WAL: in-memory only
+    try:
+        commit_with_catalog(d, spark, "assign", "a",
+                            _stats_df(spark, [1, 2]),
+                            CatalogClient(srv.url))
+    finally:
+        srv.stop()
+
+    srv2 = CatalogServer().start()          # fresh state, blobs persist
+    try:
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            commit_with_catalog(d, spark, "assign", "b",
+                                _stats_df(spark, [3]),
+                                CatalogClient(srv2.url))
+        assert any("seq=0" in str(x.message) for x in w), \
+            [str(x.message) for x in w]
+    finally:
+        srv2.stop()
+
+
+def test_catalog_client_timeout(tmp_path):
+    """A wedged server surfaces as a timeout error, not a hang."""
+    import socket
+
+    srv = socket.socket()                   # accepts, never responds
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    url = f"http://127.0.0.1:{srv.getsockname()[1]}"
+    try:
+        c = CatalogClient(url, timeout=0.3)
+        with pytest.raises(Exception) as ei:
+            c.state("t")
+        assert "timed out" in str(ei.value).lower()
+    finally:
+        srv.close()
