@@ -45,3 +45,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return Q.oracle_sql()
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """Environment-aware variant for local harnesses (check_oracle):
+    drops oracles whose validity assumptions don't hold at ``sf_dir``
+    (currently only ann_ivf_top3's exact-equality oracle, pinned to the
+    sf0.01 flat-parquet gate environment)."""
+    return Q.oracle_sql(sf_dir)

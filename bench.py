@@ -178,6 +178,7 @@ def main():
                 "ann_lsh_top3", "ann_ivf_top3",
                 "image_decode_stats", "video_frame_stats",
                 "audio_window_features", "sessionize_events",
+                "stream_tumbling_counts", "stream_session_windows",
                 "apply_changes_gated", "tiling_pipeline_counts"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).write

@@ -55,7 +55,9 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    oracles = (entrymod.oracle_sql_for(sf_dir)
+               if hasattr(entrymod, "oracle_sql_for")
+               else entrymod.oracle_sql())
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
