@@ -7,12 +7,23 @@ bytes before contouring; our multimodal corpus stores image bytes that the
 verify stage must actually decode).
 
 Scope (disclosed, checked at decode): baseline sequential DCT (SOF0),
-single 8-bit component, no chroma subsampling, no restart intervals, no
-progressive (SOF2) / arithmetic coding. Encoder emits exactly this subset
-with the spec's Annex K luminance quantization table (scaled by the usual
-IJG quality formula) and the spec's canonical luminance Huffman tables;
-the decoder accepts any stream within the subset, not just its own output
-(it reads DQT/DHT tables from the stream).
+single 8-bit component, no chroma subsampling, no progressive (SOF2) /
+arithmetic coding. Encoder emits exactly this subset with the spec's
+Annex K luminance quantization table (scaled by the usual IJG quality
+formula) and the spec's canonical luminance Huffman tables; the decoder
+accepts any stream within the subset, not just its own output (it reads
+DQT/DHT tables from the stream).
+
+Restart intervals (DRI/RSTn, T.81 §B.2.4.4 / E.2.4) ARE supported
+(round-5): ``encode_jpeg(..., restart_interval=N)`` byte-aligns the
+entropy stream and emits RST0..RST7 cyclically every N MCUs with the DC
+predictor reset; the decoder splits the scan at RST markers and decodes
+every restart segment INDEPENDENTLY (own bit position, own DC predictor)
+— which makes the restart segment the natural parallel-decode unit
+within one large raster. ``decode_jpeg(..., workers=K)`` fans the
+segments of one image over a fork pool (driver-side convenience for
+SRTM-cell-sized rasters; the engine-level parallelism across images
+remains the mapInPandas batch axis).
 
 Entropy decode (VERDICT r3 #2 — the round-3 version shifted one
 segment-sized big integer per bit read, O(bits²) overall, and walked a
@@ -170,181 +181,38 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """uint8 (h, w) grayscale -> baseline JFIF bytes."""
-    img = np.asarray(img)
-    if img.ndim != 2 or img.dtype != np.uint8:
-        raise ValueError("encode_jpeg expects a 2-D uint8 array")
-    h, w = img.shape
-    if h == 0 or w == 0 or h > 65535 or w > 65535:
-        raise ValueError("jpeg: bad dimensions")
-    q = quant_table(quality)
-
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    pad = np.pad(img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64)
-    coef = np.einsum("ij,abjk,lk->abil", _DCT, blocks - 128.0, _DCT)
-    qc = np.round(coef / q).astype(np.int64)
-    zz = qc.reshape(bh * bw, 64)[:, ZIGZAG]
-
-    dc_codes = _huff_encode_table(DC_BITS, DC_VALS)
-    ac_codes = _huff_encode_table(AC_BITS, AC_VALS)
-    bwriter = _BitWriter()
-    prev_dc = 0
-    for blk in zz:
-        diff = int(blk[0]) - prev_dc
-        prev_dc = int(blk[0])
-        cat = _category(diff)
-        code, ln = dc_codes[cat]
-        bwriter.write(code, ln)
-        if cat:
-            bwriter.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-        run = 0
-        for k in range(1, 64):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]       # ZRL
-                bwriter.write(code, ln)
-                run -= 16
-            cat = _category(v)
-            code, ln = ac_codes[(run << 4) | cat]
-            bwriter.write(code, ln)
-            bwriter.write(v if v >= 0 else v + (1 << cat) - 1, cat)
-            run = 0
-        if run:
-            code, ln = ac_codes[0x00]           # EOB
-            bwriter.write(code, ln)
-    bwriter.flush()
-
-    out = bytearray()
-    out += b"\xFF\xD8"                                      # SOI
-    out += b"\xFF\xE0" + (16).to_bytes(2, "big")            # APP0 / JFIF
-    out += b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
-    out += b"\xFF\xDB" + (67).to_bytes(2, "big") + b"\x00"  # DQT, Pq=0 Tq=0
-    out += bytes(int(x) for x in q.reshape(64)[ZIGZAG])
-    out += b"\xFF\xC0" + (11).to_bytes(2, "big")            # SOF0
-    out += b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-    out += b"\x01" + b"\x01\x11\x00"                        # 1 comp, h1v1
-    out += b"\xFF\xC4" + (2 + 1 + 16 + len(DC_VALS)).to_bytes(2, "big")
-    out += b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)        # DHT DC0
-    out += b"\xFF\xC4" + (2 + 1 + 16 + len(AC_VALS)).to_bytes(2, "big")
-    out += b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)        # DHT AC0
-    out += b"\xFF\xDA" + (8).to_bytes(2, "big")             # SOS
-    out += b"\x01" + b"\x01\x00" + b"\x00\x3F\x00"
-    out += bwriter.buf
-    out += b"\xFF\xD9"                                      # EOI
-    return bytes(out)
+from functools import lru_cache
 
 
-def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 (h, w) grayscale. Reads DQT/DHT from
-    the stream (accepts any single-component baseline stream, not just
-    encode_jpeg output); raises on streams outside the supported subset."""
-    if len(b) < 4 or b[0:2] != b"\xFF\xD8":
-        raise ValueError("jpeg: missing SOI")
-    pos = 2
-    qtables: dict[int, np.ndarray] = {}
-    dc_luts: dict[int, tuple] = {}
-    ac_luts: dict[int, tuple] = {}
-    h = w = -1
-    comp_q = comp_dc = comp_ac = 0
-    entropy = None
-    while pos + 4 <= len(b):
-        if b[pos] != 0xFF:
-            raise ValueError("jpeg: bad marker alignment")
-        marker = b[pos + 1]
-        if marker == 0xD9:                      # EOI before SOS
-            break
-        seglen = int.from_bytes(b[pos + 2:pos + 4], "big")
-        seg = b[pos + 4:pos + 2 + seglen]
-        if marker == 0xDB:                      # DQT
-            o = 0
-            while o < len(seg):
-                if o + 65 > len(seg):
-                    raise ValueError("jpeg: truncated DQT segment")
-                pq, tq = seg[o] >> 4, seg[o] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("jpeg: 16-bit quant tables")
-                tbl = np.zeros(64, np.int64)
-                tbl[ZIGZAG] = np.frombuffer(seg[o + 1:o + 65], np.uint8)
-                qtables[tq] = tbl.reshape(8, 8)
-                o += 65
-        elif marker == 0xC4:                    # DHT
-            o = 0
-            while o < len(seg):
-                if o + 17 > len(seg):
-                    raise ValueError("jpeg: truncated DHT segment")
-                tc, th = seg[o] >> 4, seg[o] & 0xF
-                bits = list(seg[o + 1:o + 17])
-                nv = sum(bits)
-                vals = list(seg[o + 17:o + 17 + nv])
-                if len(vals) != nv:
-                    raise ValueError("jpeg: truncated DHT segment")
-                (dc_luts if tc == 0 else ac_luts)[th] = \
-                    _huff_decode_lut(bits, vals)
-                o += 17 + nv
-        elif marker == 0xC0:                    # SOF0 baseline
-            if seg[0] != 8:
-                raise NotImplementedError("jpeg: only 8-bit precision")
-            h = int.from_bytes(seg[1:3], "big")
-            w = int.from_bytes(seg[3:5], "big")
-            if seg[5] != 1:
-                raise NotImplementedError("jpeg: only 1 component (grayscale)")
-            if seg[7] != 0x11:
-                raise NotImplementedError("jpeg: no subsampling support")
-            comp_q = seg[8]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("jpeg: only baseline SOF0 supported")
-        elif marker == 0xDD:                    # DRI
-            if int.from_bytes(seg[0:2], "big") != 0:
-                raise NotImplementedError("jpeg: restart intervals")
-        elif marker == 0xDA:                    # SOS
-            if seg[0] != 1:
-                raise NotImplementedError("jpeg: only 1 scan component")
-            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0xF
-            scan = b[pos + 2 + seglen:]
-            # destuff up to EOI; a bare FF followed by a non-0 marker byte
-            # ends the entropy segment. Vectorized: 0xFF occurrences are
-            # rare (stuffed pairs or the terminating marker), so locate
-            # them in one numpy pass and walk only those positions; the
-            # stuffed 0x00s are dropped in one np.delete.
-            arr = np.frombuffer(scan, np.uint8)
-            end = len(arr)
-            stuffed = []
-            for f in np.nonzero(arr == 0xFF)[0].tolist():
-                if f + 1 >= len(arr) or arr[f + 1] != 0x00:
-                    end = f          # marker (or trailing FF): entropy ends
-                    break
-                stuffed.append(f + 1)
-            entropy = np.delete(arr[:end], stuffed).tobytes()
-            break
-        # APPn / COM / others: skip
-        pos += 2 + seglen
-    if h < 0 or entropy is None:
-        raise ValueError("jpeg: missing SOF0 or SOS")
-    if comp_q not in qtables or comp_dc not in dc_luts or comp_ac not in ac_luts:
-        raise ValueError("jpeg: missing quant/huffman table for scan")
-    q = qtables[comp_q]
-    dsym, dlen = dc_luts[comp_dc]
-    asym, alen = ac_luts[comp_ac]
+@lru_cache(maxsize=16)
+def _decode_luts_cached(bits_vals: tuple):
+    """Flat-list decode LUTs for a (bits, vals) Huffman spec, cached per
+    process — restart segments of one image (and every image sharing the
+    canonical tables) reuse one 64k-entry table build; the cache key is
+    the picklable spec, so pool workers rebuild at most once each."""
+    bits, vals = bits_vals
+    sym, ln = _huff_decode_lut(list(bits), list(vals))
+    return sym.tolist(), ln.tolist()
 
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    # vectorized bitstream pass: window table + flat-list LUTs, then a
-    # constant-cost-per-symbol chain follow; coefficients scatter into zz
-    # in ONE vectorized assignment at the end
+
+def _decode_entropy_segment(args: tuple):
+    """Decode ONE restart segment's entropy bytes -> (zigzag indices,
+    coefficient values), block indices starting at 0 within the segment.
+    Self-contained and picklable (args = (entropy_bytes, n_blocks,
+    dc_spec, ac_spec)) so restart segments of a single large raster can
+    fan out over a process pool — the segment is the T.81-granted
+    parallel unit: own bit position, own DC predictor, no cross-segment
+    state."""
+    entropy, n_blocks, dc_spec, ac_spec = args
+    dsym_l, dlen_l = _decode_luts_cached(dc_spec)
+    asym_l, alen_l = _decode_luts_cached(ac_spec)
     W = _window48(entropy)
     total = len(entropy) * 8
-    dsym_l, dlen_l = dsym.tolist(), dlen.tolist()
-    asym_l, alen_l = asym.tolist(), alen.tolist()
     out_idx: list = []
     out_val: list = []
     pos = 0
     prev_dc = 0
-    for bi in range(bh * bw):
+    for bi in range(n_blocks):
         p = (W[pos >> 3] >> (32 - (pos & 7))) & 0xFFFF
         cat, ln = dsym_l[p], dlen_l[p]
         if ln == 0:
@@ -387,9 +255,253 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             out_idx.append((bi << 6) | k)
             out_val.append(v)
             k += 1
-    zz = np.zeros(bh * bw * 64, np.int64)
-    zz[out_idx] = out_val
-    zz = zz.reshape(bh * bw, 64)
+    return out_idx, out_val
+
+
+def _split_scan(scan: bytes):
+    """Entropy-coded scan bytes -> list of DESTUFFED restart segments.
+    Walks only the rare 0xFF positions (one vectorized locate): FF 00 is
+    a stuffed data byte, FF D0..D7 ends the current restart segment, any
+    other FF-marker (EOI, next SOS, ...) ends the scan."""
+    arr = np.frombuffer(scan, np.uint8)
+    segments = []
+    stuffed: list = []
+    start = 0
+    end = len(arr)
+    for f in np.nonzero(arr == 0xFF)[0].tolist():
+        if f < start:                   # FF consumed inside an RST marker
+            continue
+        nxt = int(arr[f + 1]) if f + 1 < len(arr) else -1
+        if nxt == 0x00:
+            stuffed.append(f + 1)
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(np.delete(
+                arr[start:f], [s - start for s in stuffed]).tobytes())
+            stuffed = []
+            start = f + 2
+        else:
+            end = f                     # marker (or trailing FF): scan ends
+            break
+    segments.append(np.delete(
+        arr[start:end], [s - start for s in stuffed]).tobytes())
+    return segments
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
+    """uint8 (h, w) grayscale -> baseline JFIF bytes.
+
+    ``restart_interval``: emit a DRI segment and an RSTn marker every
+    that many MCUs (8x8 blocks here — one component, no subsampling),
+    byte-aligning the stream and resetting the DC predictor at each —
+    the decoder (and any spec decoder) can then decode each restart
+    segment independently. 0 = no restart markers (the historic output,
+    byte-identical to round 4's)."""
+    img = np.asarray(img)
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects a 2-D uint8 array")
+    if restart_interval < 0 or restart_interval > 65535:
+        raise ValueError("jpeg: restart_interval must be in 0..65535")
+    h, w = img.shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("jpeg: bad dimensions")
+    q = quant_table(quality)
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    pad = np.pad(img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64)
+    coef = np.einsum("ij,abjk,lk->abil", _DCT, blocks - 128.0, _DCT)
+    qc = np.round(coef / q).astype(np.int64)
+    zz = qc.reshape(bh * bw, 64)[:, ZIGZAG]
+
+    dc_codes = _huff_encode_table(DC_BITS, DC_VALS)
+    ac_codes = _huff_encode_table(AC_BITS, AC_VALS)
+    bwriter = _BitWriter()
+    prev_dc = 0
+    n_rst = 0
+    for bi, blk in enumerate(zz):
+        if restart_interval and bi and bi % restart_interval == 0:
+            # byte-align (1-bit padding, stuffed like any entropy byte),
+            # then the raw RSTn marker — markers are NOT byte-stuffed, so
+            # they bypass the writer (E.2.4: RST0..RST7 cyclic, DC
+            # predictor resets to 0)
+            bwriter.flush()
+            bwriter.buf += bytes((0xFF, 0xD0 + (n_rst & 7)))
+            n_rst += 1
+            prev_dc = 0
+        diff = int(blk[0]) - prev_dc
+        prev_dc = int(blk[0])
+        cat = _category(diff)
+        code, ln = dc_codes[cat]
+        bwriter.write(code, ln)
+        if cat:
+            bwriter.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]       # ZRL
+                bwriter.write(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bwriter.write(code, ln)
+            bwriter.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]           # EOB
+            bwriter.write(code, ln)
+    bwriter.flush()
+
+    out = bytearray()
+    out += b"\xFF\xD8"                                      # SOI
+    out += b"\xFF\xE0" + (16).to_bytes(2, "big")            # APP0 / JFIF
+    out += b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    out += b"\xFF\xDB" + (67).to_bytes(2, "big") + b"\x00"  # DQT, Pq=0 Tq=0
+    out += bytes(int(x) for x in q.reshape(64)[ZIGZAG])
+    out += b"\xFF\xC0" + (11).to_bytes(2, "big")            # SOF0
+    out += b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    out += b"\x01" + b"\x01\x11\x00"                        # 1 comp, h1v1
+    out += b"\xFF\xC4" + (2 + 1 + 16 + len(DC_VALS)).to_bytes(2, "big")
+    out += b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)        # DHT DC0
+    out += b"\xFF\xC4" + (2 + 1 + 16 + len(AC_VALS)).to_bytes(2, "big")
+    out += b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)        # DHT AC0
+    if restart_interval:
+        out += b"\xFF\xDD" + (4).to_bytes(2, "big")         # DRI
+        out += restart_interval.to_bytes(2, "big")
+    out += b"\xFF\xDA" + (8).to_bytes(2, "big")             # SOS
+    out += b"\x01" + b"\x01\x00" + b"\x00\x3F\x00"
+    out += bwriter.buf
+    out += b"\xFF\xD9"                                      # EOI
+    return bytes(out)
+
+
+def decode_jpeg(b: bytes, workers: int = 0) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 (h, w) grayscale. Reads DQT/DHT from
+    the stream (accepts any single-component baseline stream, not just
+    encode_jpeg output); raises on streams outside the supported subset.
+
+    ``workers``: when >1 AND the stream carries restart intervals, decode
+    the restart segments in a fork pool of that size (driver-side chunked
+    decode for one large raster — e.g. a 1201x1201 SRTM cell; see
+    tools/bench_jpeg.py). 0/1 decodes sequentially, and streams without
+    RST markers always decode sequentially (one segment)."""
+    if len(b) < 4 or b[0:2] != b"\xFF\xD8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_specs: dict[int, tuple] = {}
+    ac_specs: dict[int, tuple] = {}
+    h = w = -1
+    comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
+    segments = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker alignment")
+        marker = b[pos + 1]
+        if marker == 0xD9:                      # EOI before SOS
+            break
+        seglen = int.from_bytes(b[pos + 2:pos + 4], "big")
+        seg = b[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:                      # DQT
+            o = 0
+            while o < len(seg):
+                if o + 65 > len(seg):
+                    raise ValueError("jpeg: truncated DQT segment")
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                tbl = np.zeros(64, np.int64)
+                tbl[ZIGZAG] = np.frombuffer(seg[o + 1:o + 65], np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:                    # DHT
+            o = 0
+            while o < len(seg):
+                if o + 17 > len(seg):
+                    raise ValueError("jpeg: truncated DHT segment")
+                tc, th = seg[o] >> 4, seg[o] & 0xF
+                bits = list(seg[o + 1:o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17:o + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("jpeg: truncated DHT segment")
+                (dc_specs if tc == 0 else ac_specs)[th] = \
+                    (tuple(bits), tuple(vals))
+                o += 17 + nv
+        elif marker == 0xC0:                    # SOF0 baseline
+            if seg[0] != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[5] != 1:
+                raise NotImplementedError("jpeg: only 1 component (grayscale)")
+            if seg[7] != 0x11:
+                raise NotImplementedError("jpeg: no subsampling support")
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("jpeg: only baseline SOF0 supported")
+        elif marker == 0xDD:                    # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:                    # SOS
+            if seg[0] != 1:
+                raise NotImplementedError("jpeg: only 1 scan component")
+            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0xF
+            segments = _split_scan(b[pos + 2 + seglen:])
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if h < 0 or segments is None:
+        raise ValueError("jpeg: missing SOF0 or SOS")
+    if comp_q not in qtables or comp_dc not in dc_specs \
+            or comp_ac not in ac_specs:
+        raise ValueError("jpeg: missing quant/huffman table for scan")
+    q = qtables[comp_q]
+    dc_spec, ac_spec = dc_specs[comp_dc], ac_specs[comp_ac]
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    n_blocks = bh * bw
+    if restart_interval == 0:
+        if len(segments) != 1:
+            raise ValueError("jpeg: RST marker without a DRI interval")
+        tasks = [(segments[0], n_blocks, dc_spec, ac_spec)]
+    else:
+        n_seg = -(-n_blocks // restart_interval)
+        if len(segments) != n_seg:
+            raise ValueError(
+                f"jpeg: expected {n_seg} restart segments for interval "
+                f"{restart_interval}, found {len(segments)}")
+        tasks = [(segments[s],
+                  min(restart_interval, n_blocks - s * restart_interval),
+                  dc_spec, ac_spec) for s in range(n_seg)]
+
+    # vectorized bitstream pass per segment: window table + flat-list
+    # LUTs, then a constant-cost-per-symbol chain follow; coefficients
+    # scatter into zz in ONE vectorized assignment at the end. Segments
+    # are fully independent — sequential here, or forked when the caller
+    # asks (the chain follow is pure-Python and GIL-bound, so processes,
+    # not threads, are the useful axis).
+    if workers > 1 and len(tasks) > 1:
+        import multiprocessing as _mp
+
+        with _mp.get_context("fork").Pool(min(workers, len(tasks))) as pool:
+            results = pool.map(
+                _decode_entropy_segment, tasks,
+                chunksize=max(1, len(tasks) // (4 * workers)))
+    else:
+        results = [_decode_entropy_segment(t) for t in tasks]
+
+    zz = np.zeros(n_blocks * 64, np.int64)
+    for s, (idx, val) in enumerate(results):
+        if idx:
+            off = (s * restart_interval) << 6
+            zz[np.asarray(idx, np.int64) + off] = val
+    zz = zz.reshape(n_blocks, 64)
 
     coef = np.zeros((bh * bw, 64), np.int64)
     coef[:, ZIGZAG] = zz

@@ -146,3 +146,99 @@ def test_verify_tiles_mixed_corpus(spark):
     assert all(r["caption_ok"] for r in out)
     jpeg_rows = [r for r in out if int(r["image_id"][3:]) % 4 == 3]
     assert jpeg_rows and all(r["psnr"] >= 40.0 for r in jpeg_rows)
+
+
+# --- restart intervals (DRI/RSTn, round 5) ---------------------------------
+
+def _terrain(h, w, seed=3):
+    x = np.linspace(0, 6, w)
+    y = np.linspace(0, 5, h)
+    base = np.sin(y[:, None] + seed) * np.cos(x[None, :]) * 0.5 + 0.5
+    return (base * 255).astype(np.uint8)
+
+
+def test_restart_interval_roundtrip_pixel_identical():
+    """DRI streams decode to EXACTLY the same pixels as the unrestarted
+    encoding of the same blocks (restarts change framing, not data), for
+    intervals that divide, don't divide, and exceed the MCU count."""
+    img = _terrain(157, 203)
+    base = decode_jpeg(encode_jpeg(img, 85))
+    for ri in (1, 7, 26, 100, 10 ** 4):
+        b = encode_jpeg(img, 85, restart_interval=ri)
+        assert np.array_equal(decode_jpeg(b), base), ri
+
+
+def test_restart_marker_structure():
+    """DRI segment present with the interval; RSTn markers appear in
+    cyclic order n=0..7,0..; count = ceil(blocks/interval) - 1."""
+    img = _terrain(64, 64)          # 8x8 = 64 blocks
+    ri = 5
+    b = encode_jpeg(img, 85, restart_interval=ri)
+    i = b.find(b"\xFF\xDD")
+    assert i > 0
+    assert int.from_bytes(b[i + 2:i + 4], "big") == 4
+    assert int.from_bytes(b[i + 4:i + 6], "big") == ri
+    # collect RST markers from the scan (skip stuffed FF00)
+    sos = b.find(b"\xFF\xDA")
+    scan = b[sos + 2 + int.from_bytes(b[sos + 2:sos + 4], "big"):]
+    rsts = []
+    j = 0
+    while j < len(scan) - 1:
+        if scan[j] == 0xFF and 0xD0 <= scan[j + 1] <= 0xD7:
+            rsts.append(scan[j + 1] - 0xD0)
+            j += 2
+        else:
+            j += 1
+    assert len(rsts) == (64 + ri - 1) // ri - 1
+    assert rsts == [k % 8 for k in range(len(rsts))]
+
+
+def test_restart_zero_is_byte_identical_legacy():
+    img = _terrain(48, 80)
+    assert encode_jpeg(img, 90) == encode_jpeg(img, 90, restart_interval=0)
+
+
+def test_restart_parallel_workers_match_sequential():
+    img = _terrain(96, 96)
+    b = encode_jpeg(img, 85, restart_interval=9)
+    assert np.array_equal(decode_jpeg(b, workers=4), decode_jpeg(b))
+
+
+def test_restart_segment_independence():
+    """Corrupting one restart segment's bytes leaves every OTHER segment's
+    blocks bit-identical (the property that makes the segment the
+    parallel/recovery unit) — decode the good segments by hand."""
+    from osm2garmin_spark.operators.jpeg import (_decode_entropy_segment,
+                                                 _split_scan)
+    img = _terrain(64, 64)
+    ri = 16                          # 4 segments of 16 blocks
+    b = encode_jpeg(img, 85, restart_interval=ri)
+    sos = b.find(b"\xFF\xDA")
+    scan = b[sos + 2 + int.from_bytes(b[sos + 2:sos + 4], "big"):]
+    segs = _split_scan(scan)
+    assert len(segs) == 4
+    dc = (tuple(__import__("osm2garmin_spark.operators.jpeg",
+                           fromlist=["DC_BITS"]).DC_BITS),
+          tuple(range(12)))
+    from osm2garmin_spark.operators.jpeg import AC_BITS, AC_VALS
+    ac = (tuple(AC_BITS), tuple(AC_VALS))
+    ref = [_decode_entropy_segment((s, 16, dc, ac)) for s in segs]
+    # corrupt segment 1 (flip bits mid-segment); other segments unchanged
+    bad = bytearray(segs[1])
+    bad[len(bad) // 2] ^= 0x55
+    for i in (0, 2, 3):
+        assert _decode_entropy_segment((segs[i], 16, dc, ac)) == ref[i]
+
+
+def test_restart_validation_errors():
+    img = _terrain(32, 32)
+    b = encode_jpeg(img, 85, restart_interval=3)
+    # strip the DRI segment but keep the RST markers -> reject
+    i = b.find(b"\xFF\xDD")
+    no_dri = b[:i] + b[i + 6:]
+    with pytest.raises(ValueError, match="RST marker without"):
+        decode_jpeg(no_dri)
+    with pytest.raises(ValueError):
+        encode_jpeg(img, 85, restart_interval=-1)
+    with pytest.raises(ValueError):
+        encode_jpeg(img, 85, restart_interval=70000)

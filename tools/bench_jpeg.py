@@ -36,6 +36,26 @@ def main():
         print(f"{size}x{size}: {len(b)} bytes, decode best-of-5 "
               f"{t*1000:.1f} ms = {size*size/t/1e6:.2f} Mpx/s")
 
+    # round-5 chunked decode: restart interval = one MCU row of the
+    # 1201^2 SRTM cell -> 151 independent restart segments; decode them
+    # sequentially and over a fork pool (the T.81 parallel-decode unit)
+    size = 1201
+    mcu_row = (size + 7) // 8
+    b = encode_jpeg(img, quality=90, restart_interval=mcu_row)
+    ref = decode_jpeg(b)
+    for workers in (0, 4, 8):
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = decode_jpeg(b, workers=workers)
+            ts.append(time.perf_counter() - t0)
+        assert np.array_equal(out, ref)
+        t = min(ts)
+        label = "sequential" if workers < 2 else f"{workers} workers"
+        print(f"{size}x{size} DRI={mcu_row} ({mcu_row} segments, "
+              f"{len(b)} bytes), {label}: {t*1000:.1f} ms "
+              f"= {size*size/t/1e6:.2f} Mpx/s")
+
 
 if __name__ == "__main__":
     main()
