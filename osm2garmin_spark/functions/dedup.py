@@ -179,7 +179,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    a_col: str = "doc_a", b_col: str = "doc_b",
-                   max_iters: int = 50) -> DataFrame:
+                   max_iters: int = 50, stats: dict = None) -> DataFrame:
     """Connected-component cluster resolution over a near-dup pair graph:
     (id, cluster_id) where cluster_id = the minimum id in the component —
     the canonical-survivor rule of a training-data dedup pass ("keep one
@@ -196,7 +196,9 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     Rounds needed = the component diameter, which for near-dup clusters
     (dense cliques from banded LSH buckets) is tiny; max_iters is a
     divergence guard, not a tuning knob, and non-convergence raises
-    instead of returning wrong labels.
+    instead of returning wrong labels. ``stats``: optional dict filled
+    with {"rounds": n} on return (bench instrumentation — rounds-to-
+    fixpoint is the scale-relevant number).
 
     100 TB shape: edges are iteration-invariant — pre-partitioned by src
     ONCE (localCheckpoint pins the layout), so each round is one shuffle
@@ -212,7 +214,7 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     labels = (ids.select(F.col(id_col).alias("v"),
                          F.col(id_col).alias("lbl"))
               .localCheckpoint())
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr = (edges.join(labels.withColumnRenamed("v", "src"), "src")
                .groupBy("dst").agg(F.min("lbl").alias("_nlbl"))
                .withColumnRenamed("dst", "v"))
@@ -225,6 +227,8 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         changed = new.agg(F.sum("_chg")).first()[0]
         labels = new.drop("_chg")
         if not changed:
+            if stats is not None:
+                stats["rounds"] = it + 1
             return labels.select(F.col("v").alias(id_col),
                                  F.col("lbl").alias("cluster_id"))
     raise RuntimeError(

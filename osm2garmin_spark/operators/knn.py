@@ -436,24 +436,45 @@ def plan_strata(neighbors: DataFrame, k: int, coarse: int = 64,
     rows = (neighbors.groupBy(ix.alias("_ix"), iy.alias("_iy"))
             .agg(F.count(F.lit(1)).alias("_cnt")).collect())
     cnts = np.array([r["_cnt"] for r in rows], dtype=np.int64)
-    order = np.argsort(cnts, kind="stable")
-    csum = np.cumsum(cnts[order])
-    total = int(csum[-1])
+    total = int(cnts.sum())
     n_strata = max(1, min(n_strata, len(rows)))
-    # equal-point-mass band boundaries over the count-sorted cells
-    band_of_sorted = np.minimum(
-        ((csum - 1) * n_strata) // total, n_strata - 1).astype(np.int64)
+    # SPIKE carve-out (round 5): a coarse cell far above the typical
+    # density would otherwise be lumped with hundreds of average cells to
+    # fill its equal-mass band, diluting that band's density estimate
+    # ~(band cells)x and defeating the per-band tuning exactly where it
+    # matters (measured: a 60k-point 0.05-deg hot cell inside a 660k
+    # uniform corpus got band cell 0.66 deg instead of ~0.05 deg —
+    # tools/bench_knn_skew.py). Cells with count >= 64x the mean occupied
+    # cell (i.e. local density >= 64x the occupied-area average — the
+    # point where the global/band cell drags >= 64x the candidate target
+    # through the join) become their OWN stratum, tuned to their exact
+    # single-cell density; the 2*n_strata HIGHEST qualify (bounded strata
+    # count — knn_grid_stratified fans branches over driver threads).
+    # Spike ids start at n_strata, sorted by count so ids stay stable;
+    # the remaining cells get the equal-point-mass bands 0..n_strata-1.
     stratum = np.empty(len(rows), dtype=np.int64)
-    stratum[order] = band_of_sorted
+    spike_thresh = 64.0 * total / len(rows)
+    spike_idx = np.nonzero(cnts.astype(np.float64) >= spike_thresh)[0]
+    spike_idx = spike_idx[np.argsort(cnts[spike_idx], kind="stable")]
+    spike_idx = spike_idx[-2 * n_strata:]
+    for rank, i in enumerate(spike_idx.tolist()):
+        stratum[i] = n_strata + rank
+    rest = np.setdiff1d(np.arange(len(rows)), spike_idx)
+    if len(rest):
+        order = rest[np.argsort(cnts[rest], kind="stable")]
+        csum = np.cumsum(cnts[order])
+        rest_total = max(int(csum[-1]), 1)
+        band_of_sorted = np.minimum(
+            ((csum - 1) * n_strata) // rest_total,
+            n_strata - 1).astype(np.int64)
+        stratum[order] = band_of_sorted
     cell_to_stratum = [(int(rows[i]["_ix"]), int(rows[i]["_iy"]),
                         int(stratum[i])) for i in range(len(rows))]
     target = max(8.0 * k, 64.0)
     cell_area = step_lat * step_lon
     stratum_cells = {}
-    for s in range(n_strata):
+    for s in sorted(set(stratum.tolist())):
         sel = stratum == s
-        if not sel.any():
-            continue
         density = cnts[sel].sum() / (sel.sum() * cell_area)
         stratum_cells[int(s)] = max(math.sqrt(target / (9.0 * density)), 1e-6)
     return stats, cell_to_stratum, stratum_cells, (step_lat, step_lon)

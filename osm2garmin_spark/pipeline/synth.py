@@ -116,3 +116,48 @@ def attach_geo(images: DataFrame, id_col: str = "image_id") -> DataFrame:
     lat = F.when(is_metro, mlat + jlat).otherwise(derived_lat(nid))
     lon = F.when(is_metro, mlon + jlon).otherwise(derived_lon(nid))
     return images.withColumn("lat", lat).withColumn("lon", lon)
+
+
+#: larger word pool for document synthesis (vocab words + suffixed variants
+#: so 1M-doc corpora don't collapse into few distinct shingles)
+def _doc_vocab() -> list:
+    return [f"{w}{s}" for w in CAPTION_WORDS.tolist()
+            for s in ("", "s", "ing", "ed", "er", "est", "ly", "ish")]
+
+
+def synth_documents(spark: SparkSession, n: int, words_per_doc: int = 12,
+                    partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic corpus of n text documents with KNOWN
+    duplicate structure, for dedup-pipeline benches at corpus scale
+    (VERDICT r4 next-round #3): every block of 5 consecutive ids holds
+    one exact-duplicate pair (ids 5k, 5k+1: identical text) plus one
+    near-duplicate (id 5k+2: same words except the last) — so the true
+    clustering has one size-3 component per block and singletons
+    elsewhere. Pure JVM column expressions of the id (no UDFs, no driver
+    data): word j of doc id = vocab[(seed*A_j + B_j) mod P mod V] with
+    seed = the block base for the three dup rows, id otherwise.
+
+    Columns: doc_id long, text string."""
+    if partitions is None:
+        partitions = max(1, min(256, n // 100_000 + 1))
+    vocab = _doc_vocab()
+    varr = F.array(*[F.lit(w) for w in vocab])
+    v = len(vocab)
+    base = spark.range(0, n, 1, partitions).select(F.col("id").alias("doc_id"))
+    in_block = F.col("doc_id") % 5
+    seed = F.when(in_block < 3,
+                  F.col("doc_id") - in_block).otherwise(F.col("doc_id"))
+    words = []
+    for j in range(words_per_doc):
+        s = F.when((in_block == 2) & F.lit(j == words_per_doc - 1),
+                   F.col("doc_id")).otherwise(seed)
+        # word choice must be a well-mixed function of (seed, position):
+        # a plain (s*a + b) % P % V LCG degenerates for small ids (the
+        # product never wraps P, leaving a pure linear map whose even
+        # multiplier shares factors with V — measured 3436 duplicate
+        # 12-word sequences in 5000 seeds, which chained the whole corpus
+        # into mega-clusters); xxhash64 is JVM-side and collision-free at
+        # this scale
+        words.append(F.element_at(
+            varr, (F.pmod(F.xxhash64(F.lit(j), s), F.lit(v)) + 1).cast("int")))
+    return base.select("doc_id", F.concat_ws(" ", *words).alias("text"))

@@ -205,3 +205,50 @@ def test_stratified_skewed_single_cell_and_outside_queries(spark):
                                          n_strata=4).collect()))
     want = sorted(map(tuple, knn_broadcast(qd, nd, 3).collect()))
     assert got == want
+
+
+def test_plan_strata_spike_cell_gets_own_stratum(spark):
+    """Round 5: a single coarse cell at >=64x the mean occupied-cell
+    density must be carved into its OWN stratum with a cell tuned to its
+    exact density — equal-point-mass banding alone dilutes a sub-half-
+    band spike across hundreds of average cells (measured 0.66 deg band
+    cell for a spike whose true density implies ~0.04 deg). Results stay
+    bit-identical to broadcast."""
+    from osm2garmin_spark.operators.knn import (knn_broadcast,
+                                                knn_grid_stratified,
+                                                plan_strata)
+
+    rng = np.random.default_rng(17)
+    nb = pd.DataFrame({
+        "n_id": np.arange(12000),
+        # 8000 uniform over 20x20 deg + a 4000-point 0.05-deg spike
+        # (spike holds 1/3 of mass: below the old half-band threshold)
+        "n_lat": np.concatenate([rng.uniform(0, 20, 8000),
+                                 10.0 + rng.uniform(0, 0.05, 4000)]),
+        "n_lon": np.concatenate([rng.uniform(0, 20, 8000),
+                                 10.0 + rng.uniform(0, 0.05, 4000)]),
+    })
+    nd = spark.createDataFrame(nb)
+    n_strata = 4
+    stats, cell_map, stratum_cells, _ = plan_strata(nd, 3, coarse=32,
+                                                    n_strata=n_strata)
+    spikes = [s for s in stratum_cells if s >= n_strata]
+    assert spikes, stratum_cells
+    # the spike stratum's cell reflects its own density: far below every
+    # equal-mass band's cell
+    band_cells = [c for s, c in stratum_cells.items() if s < n_strata]
+    assert max(stratum_cells[s] for s in spikes) < 0.2 * min(band_cells), \
+        stratum_cells
+
+    q = pd.DataFrame({
+        "q_id": np.arange(200),
+        "q_lat": np.concatenate([rng.uniform(0, 20, 100),
+                                 10.0 + rng.uniform(-0.1, 0.15, 100)]),
+        "q_lon": np.concatenate([rng.uniform(0, 20, 100),
+                                 10.0 + rng.uniform(-0.1, 0.15, 100)]),
+    })
+    qd = spark.createDataFrame(q)
+    got = sorted(map(tuple, knn_grid_stratified(qd, nd, 3, coarse=32,
+                                                n_strata=n_strata).collect()))
+    want = sorted(map(tuple, knn_broadcast(qd, nd, 3).collect()))
+    assert got == want

@@ -1,0 +1,79 @@
+"""Dedup pipeline at corpus scale (VERDICT r4 next-round #3): run
+minhash_lsh_pairs -> dedup_clusters end-to-end on a >=1M-doc synthetic
+corpus with KNOWN duplicate structure (pipeline/synth.synth_documents:
+one exact-dup pair + one near-dup per 5-id block) and print one JSON
+line with pairs/sec, rounds-to-fixpoint, and recall against the planted
+structure.
+
+The oracle-gated sf0.01 queries pin the VALUES of this pipeline on 500
+docs; this bench pins its SCALE shape: the candidate join is banded
+buckets (never all-pairs), edges repartition exactly once and each label
+round starts from a checkpoint (no plan growth across rounds).
+
+Usage: python tools/bench_dedup_corpus.py [n_docs] [cores]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from osm2garmin_spark.functions.dedup import (dedup_clusters,     # noqa: E402
+                                              minhash_lsh_pairs)
+from osm2garmin_spark.pipeline.synth import synth_documents       # noqa: E402
+from osm2garmin_spark.session import get_spark                    # noqa: E402
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else \
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench-dedup-corpus", master=f"local[{cores}]",
+                      shuffle_partitions=cores)
+
+    docs = synth_documents(spark, n)
+
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(docs).localCheckpoint()
+    n_pairs = pairs.count()
+    wall_pairs = time.perf_counter() - t0
+
+    stats: dict = {}
+    t1 = time.perf_counter()
+    clusters = dedup_clusters(docs.select("doc_id"), pairs, stats=stats)
+    from pyspark.sql import functions as F
+
+    sizes = (clusters.groupBy("cluster_id").count()
+             .groupBy("count").count().collect())
+    wall_clusters = time.perf_counter() - t1
+    by_size = {int(r["count"]): int(r["count(1)"])
+               if "count(1)" in r.asDict() else int(r[1]) for r in sizes}
+
+    # planted truth: every block of 5 ids holds one {5k, 5k+1, 5k+2}
+    # component; recall = fraction of those blocks fully clustered
+    # (LSH can miss a banded match — report, don't assert perfection)
+    n_blocks = n // 5
+    full_triples = by_size.get(3, 0)
+    out = {
+        "metric": "dedup_pipeline_corpus",
+        "n_docs": n,
+        "cores": cores,
+        "wall_pairs_sec": round(wall_pairs, 2),
+        "n_candidate_pairs": n_pairs,
+        "pairs_per_sec": round(n_pairs / wall_pairs, 1),
+        "docs_per_sec_pairs_stage": round(n / wall_pairs, 1),
+        "wall_clusters_sec": round(wall_clusters, 2),
+        "rounds_to_fixpoint": stats.get("rounds"),
+        "cluster_size_histogram": {str(k): v for k, v in sorted(by_size.items())},
+        "planted_triples": n_blocks,
+        "recovered_triples": full_triples,
+        "triple_recall": round(full_triples / n_blocks, 4) if n_blocks else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
