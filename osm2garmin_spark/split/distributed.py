@@ -185,10 +185,22 @@ def _aggregate_level(cells: DataFrame, nodes: List[_Node], shift: int,
          .join(F.broadcast(win), ["_bx", "_by"])
          .filter((F.col("cell_x") >= F.col("wx0")) & (F.col("cell_x") < F.col("wx1"))
                  & (F.col("cell_y") >= F.col("wy0")) & (F.col("cell_y") < F.col("wy1"))))
-    cols = (j.groupBy("node_id", "cell_x").agg(F.sum("cnt").alias("s"))
+    # BOTH axis sums in ONE action: each joined cell explodes to an
+    # (axis, coordinate) pair and a single groupBy delivers colsum and
+    # rowsum together. Round 4 ran two separate toPandas() actions, which
+    # re-scanned cells + re-broadcast the window table per axis and cost
+    # ~6 Spark jobs per level under AQE (measured, 20M-row bench); one
+    # action is ~3 (shuffle map + final + broadcast) and one cells scan.
+    ex = (j.select("node_id", F.explode(F.array(
+            F.struct(F.lit(0).alias("ax"), F.col("cell_x").alias("coord"),
+                     F.col("cnt")),
+            F.struct(F.lit(1).alias("ax"), F.col("cell_y").alias("coord"),
+                     F.col("cnt")))).alias("e"))
+          .select("node_id", "e.ax", "e.coord", "e.cnt"))
+    both = (ex.groupBy("node_id", "ax", "coord").agg(F.sum("cnt").alias("s"))
             .toPandas())
-    rows = (j.groupBy("node_id", "cell_y").agg(F.sum("cnt").alias("s"))
-            .toPandas())
+    cols = both[both["ax"] == 0].rename(columns={"coord": "cell_x"})
+    rows = both[both["ax"] == 1].rename(columns={"coord": "cell_y"})
 
     out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     for n in nodes:
@@ -215,7 +227,8 @@ def split_area_distributed(cells: DataFrame, exact_area: Area,
                            resolution: int, max_nodes: int,
                            first_map_id: int = 63240001,
                            max_levels: int = 64,
-                           bounds: Area = PLANET) -> List[Area]:
+                           bounds: Area = PLANET,
+                           stats: dict = None) -> List[Area]:
     """Distributed twin of quadtree.split_area. ``cells`` is the output of
     density_cells (cell_x, cell_y, cnt) — persist it before calling.
 
@@ -223,7 +236,11 @@ def split_area_distributed(cells: DataFrame, exact_area: Area,
     coordinates are relative to round_area(bounds)'s min corner, so the
     aggregation origin and the root-window clamp both derive from it
     (hardcoding PLANET silently mis-addressed every cell for non-planet
-    runs)."""
+    runs).
+
+    ``stats``: optional dict filled with {"levels": n} — the number of
+    level-synchronous rounds actually run (bench instrumentation for the
+    jobs-per-level contract)."""
     global _by_id
     shift = 24 - resolution
     origin = round_area(bounds, resolution)
@@ -251,9 +268,11 @@ def split_area_distributed(cells: DataFrame, exact_area: Area,
     root = new_node(root_window)
     active = [root]
 
+    levels_run = 0
     for _level in range(max_levels):
         if not active:
             break
+        levels_run += 1
         vecs = _aggregate_level(cells, active, shift, origin)
         next_active: List[_Node] = []
         for n in active:
@@ -295,6 +314,8 @@ def split_area_distributed(cells: DataFrame, exact_area: Area,
             return [n.bounds]
         return _mix_results(order(n.children[0]), order(n.children[1]))
 
+    if stats is not None:
+        stats["levels"] = levels_run
     areas = order(root)
     return [Area(a.min_lat, a.min_long, a.max_lat, a.max_long,
                  map_id=first_map_id + i) for i, a in enumerate(areas)]

@@ -70,17 +70,17 @@ def main():
     cells = density_cells(corpus, "lat", "lon", RESOLUTION, PLANET).persist()
     cells.count()
     n_jobs0 = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    sstats: dict = {}
     tiles = split_area_distributed(cells, exact, RESOLUTION, MAX_NODES,
-                                   bounds=PLANET)
+                                   bounds=PLANET, stats=sstats)
     n_jobs1 = len(sc.statusTracker().getJobIdsForGroup(None) or [])
     cells.unpersist()
-    import math
-    n_levels = max(1, math.ceil(math.log2(max(
-        len(tiles), 2))))  # >= depth of a balanced quadtree over the tiles
+    n_levels = max(sstats.get("levels", 1), 1)
     out["distributed_split_only"] = {
         "n_tiles": len(tiles),
         "spark_jobs": n_jobs1 - n_jobs0,
-        "jobs_per_tile_doubling": round((n_jobs1 - n_jobs0) / n_levels, 1),
+        "levels": n_levels,
+        "jobs_per_level": round((n_jobs1 - n_jobs0) / n_levels, 2),
     }
     print(json.dumps(out))
     spark.stop()
