@@ -174,26 +174,33 @@ class CatalogServer:
 
 def _replay_wal(wal_path: str, state: dict) -> None:
     """Rebuild per-table {seq, manifests} from the JSON-lines log. A torn
-    final line (crash mid-append) stops the replay there — everything
-    before it was fsync'd whole. Out-of-order seq means a corrupt or
-    hand-edited log: fail loudly rather than resume from wrong state."""
+    FINAL line (crash mid-append) stops the replay there — everything
+    before it was fsync'd whole; a corrupt record with further entries
+    after it, or an out-of-order seq, means real corruption and fails
+    loudly rather than resuming from wrong state."""
     with open(wal_path) as f:
-        for lineno, line in enumerate(f, 1):
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                break
-            t = state["tables"].setdefault(
-                rec["table"], {"seq": 0, "manifests": []})
-            if rec["seq"] != t["seq"] + 1:
+        lines = f.readlines()
+    for lineno, line in enumerate(lines, 1):
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            if any(l.strip() for l in lines[lineno:]):
                 raise ValueError(
-                    f"catalog WAL {wal_path}:{lineno}: seq {rec['seq']} "
-                    f"does not follow {t['seq']} for table {rec['table']!r}")
-            t["seq"] = rec["seq"]
-            gone = set(rec.get("replaces") or [])
-            if gone:
-                t["manifests"] = [m for m in t["manifests"] if m not in gone]
-            t["manifests"].append(rec["manifest"])
+                    f"catalog WAL {wal_path}:{lineno}: corrupt record "
+                    "with later entries present")
+            return
+        t = state["tables"].setdefault(
+            rec["table"], {"seq": 0, "manifests": []})
+        if rec["seq"] != t["seq"] + 1:
+            raise ValueError(
+                f"catalog WAL {wal_path}:{lineno}: seq {rec['seq']} "
+                f"does not follow {t['seq']} for table {rec['table']!r}")
+        t["seq"] = rec["seq"]
+        gone = set(rec.get("replaces") or [])
+        if gone:
+            t["manifests"] = [m for m in t["manifests"] if m not in gone]
+        t["manifests"].append(rec["manifest"])
+
 
 
 class CatalogClient:

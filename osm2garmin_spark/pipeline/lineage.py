@@ -540,13 +540,17 @@ def read_committed_assigned(spark: SparkSession, out_dir: str,
 
 
 def snapshots(spark: SparkSession, out_dir: str,
-              stage: str = "assign") -> DataFrame:
+              stage: str = "assign",
+              lineage_df: Optional[DataFrame] = None) -> DataFrame:
     """Iceberg-metadata-style snapshot listing: one row per committed
     attempt with its commit instant, run id, tile count and total rows —
     the inputs a time-travel reader (read_committed_assigned(as_of=...))
-    picks from."""
-    store = LineageStore(out_dir)
-    return (store.read(spark).filter(F.col("stage") == stage)
+    picks from. ``lineage_df`` selects the backend, exactly as in
+    committed_pairs (pass catalog.read_catalog_lineage for a
+    catalog-committed table)."""
+    if lineage_df is None:
+        lineage_df = LineageStore(out_dir).read(spark)
+    return (lineage_df.filter(F.col("stage") == stage)
             .groupBy("attempt", "run_id")
             .agg(F.min("ts").alias("committed_ts"),
                  F.count(F.lit(1)).alias("n_tiles"),
@@ -560,7 +564,7 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
                          lat_col: str = "lat", lon_col: str = "lon",
                          run_id: str = "run", fail_after_tiles: int = -1,
                          fail_before_commit: bool = False,
-                         catalog=None,
+                         catalog=None, compact_after: int = 0,
                          ) -> dict:
     """Resumable pass-1 + pass-2: reuses the persisted tile list, skips
     tiles whose 'assign' lineage rows exist, writes per-tile parquet under
@@ -578,7 +582,15 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
     references (zero Spark jobs). Read the results with
     ``read_committed_assigned(..., lineage_df=read_catalog_lineage(...))``.
 
-    Returns {"tiles": n, "processed": n_new, "skipped": n_skipped}.
+    ``compact_after`` (> 0): after this run's commit, if more than that
+    many committed manifests exist, roll them into one summary
+    (LineageStore.compact / compact_catalog) — the operational hook that
+    keeps long incremental jobs' conflict reads at summary + tail
+    instead of the full commit history. Safe under concurrent writers
+    (the compaction claim rides the same CAS; race-tested).
+
+    Returns {"tiles": n, "processed": n_new, "skipped": n_skipped}
+    (+"compacted" when a compaction ran).
     """
     import uuid
 
@@ -651,5 +663,17 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
             return {"tiles": len(tiles), "processed": len(committed),
                     "skipped": len(done), "conflict_dropped": lost}
 
-    return {"tiles": len(tiles), "processed": processed,
-            "skipped": len(tiles) - len(pending) if fail_after_tiles < 0 else len(done)}
+    out = {"tiles": len(tiles), "processed": processed,
+           "skipped": len(tiles) - len(pending) if fail_after_tiles < 0 else len(done)}
+    if compact_after > 0:
+        if catalog is not None:
+            from .catalog import _table_key, compact_catalog
+            st2 = catalog.state(_table_key(out_dir, None))
+            if len(st2["manifests"]) > compact_after:
+                out["compacted"] = compact_catalog(out_dir, catalog)["compacted"]
+        else:
+            n_manifests = sum(1 for f in os.listdir(store.lineage_dir)
+                              if f.endswith(".parquet"))
+            if n_manifests > compact_after:
+                out["compacted"] = store.compact()["compacted"]
+    return out

@@ -604,3 +604,55 @@ def test_conflict_read_is_incremental(spark, tmp_path):
     # new since the previous conflict read (0 or 1, never k)
     assert max(opens) <= 1, opens
     assert sum(opens) <= n
+
+
+def test_auto_compaction_hook(spark, points, tmp_path):
+    """compact_after: a resumable run rolls accumulated manifests into
+    one summary once their count exceeds the threshold; reader output
+    and a subsequent resume are unaffected."""
+    d = str(tmp_path / "autocompact")
+    run_tiling_resumable(points, d, max_nodes=300, run_id="a1",
+                         fail_after_tiles=1)
+    run_tiling_resumable(points, d, max_nodes=300, run_id="a2",
+                         fail_after_tiles=3)
+    r = run_tiling_resumable(points, d, max_nodes=300, run_id="a3",
+                             compact_after=1)
+    assert r.get("compacted", 0) >= 3          # three commits rolled up
+    store = LineageStore(d)
+    files = [f for f in os.listdir(store.lineage_dir)
+             if f.endswith(".parquet")]
+    assert len(files) == 1
+    # rerun is still a no-op and the reader sees every tile exactly once
+    assert run_tiling_resumable(points, d, max_nodes=300,
+                                run_id="a4")["processed"] == 0
+    per_tile = (read_committed_assigned(spark, d).groupBy("tile_id")
+                .count().count())
+    assert per_tile == r["tiles"]
+
+
+def test_auto_compaction_hook_catalog(spark, points, tmp_path):
+    """Same hook through the catalog backend: the reference list shrinks
+    to one summary blob, committed history stays visible."""
+    from osm2garmin_spark.pipeline.catalog import (CatalogClient,
+                                                   CatalogServer,
+                                                   _table_key,
+                                                   read_catalog_lineage)
+
+    srv = CatalogServer().start()
+    try:
+        c = CatalogClient(srv.url)
+        d = str(tmp_path / "autocompact_cat")
+        run_tiling_resumable(points, d, max_nodes=300, run_id="c1",
+                             fail_after_tiles=2, catalog=c)
+        r = run_tiling_resumable(points, d, max_nodes=300, run_id="c2",
+                                 catalog=c, compact_after=1)
+        assert r.get("compacted", 0) == 2
+        st = c.state(_table_key(d, None))
+        assert len(st["manifests"]) == 1
+        lin = read_catalog_lineage(spark, d, c)
+        per_tile = lin.filter("stage = 'assign'").groupBy("tile_id") \
+                      .count().collect()
+        assert len(per_tile) == r["tiles"]
+        assert all(x["count"] == 1 for x in per_tile)
+    finally:
+        srv.stop()
