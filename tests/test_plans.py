@@ -246,3 +246,57 @@ def test_knn_grid_explodes_query_side(spark, monkeypatch):
     # and the operator still answers correctly under the no-op checkpoint
     rows = out.collect()
     assert {r["q_id"] for r in rows} == set(range(50))
+
+
+def test_dedup_clusters_final_plan_is_truncated(spark):
+    """The label-propagation fixpoint must not accumulate plan depth
+    across rounds: every round localCheckpoints, so the RETURNED frame's
+    plan is a checkpoint scan + projection — zero joins — no matter how
+    many rounds ran (a 5-round chain here). Without truncation the plan
+    embeds every prior round (exponential Catalyst analysis, the
+    standard iterative-algorithm pitfall)."""
+    from osm2garmin_spark.functions.dedup import dedup_clusters
+
+    # a path graph 0-1-2-...-9 needs ~5 min-label rounds (diameter 9,
+    # labels move one hop per round from the min end)
+    ids = spark.range(0, 10).selectExpr("id AS doc_id")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long")
+    stats: dict = {}
+    out = dedup_clusters(ids, pairs, stats=stats)
+    assert stats["rounds"] >= 4
+    plan = _plan(out)
+    assert "Join" not in plan, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    # and it converged to one component labeled by the min id
+    rows = out.collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_distributed_split_jobs_per_level_bounded(spark):
+    """Round 5 fused the per-level colsum/rowsum actions into one
+    explode+groupBy: each level runs ONE toPandas action (<= 3 Spark
+    jobs under AQE: shuffle map + final + window-table broadcast).
+    Guard the job budget so a regression back to per-axis actions
+    (2x scans, 6 jobs/level measured at 20M rows) cannot slip in."""
+    from osm2garmin_spark.expressions import derived_lat, derived_lon
+    from osm2garmin_spark.geo.area import PLANET
+    from osm2garmin_spark.split.density import density_cells, exact_bounds
+    from osm2garmin_spark.split.distributed import split_area_distributed
+
+    pts = spark.range(0, 30000).select(
+        F.col("id").alias("event_id"),
+        derived_lat(F.col("id")).alias("lat"),
+        derived_lon(F.col("id")).alias("lon"))
+    exact = exact_bounds(pts, "lat", "lon")
+    cells = density_cells(pts, "lat", "lon", 11, PLANET).persist()
+    cells.count()
+    sc = spark.sparkContext
+    n0 = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    stats: dict = {}
+    tiles = split_area_distributed(cells, exact, 11, 3000, bounds=PLANET,
+                                   stats=stats)
+    n1 = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    cells.unpersist()
+    assert tiles and stats["levels"] >= 3
+    assert (n1 - n0) <= 3 * stats["levels"], (n1 - n0, stats["levels"])
