@@ -436,7 +436,6 @@ def plan_strata(neighbors: DataFrame, k: int, coarse: int = 64,
     rows = (neighbors.groupBy(ix.alias("_ix"), iy.alias("_iy"))
             .agg(F.count(F.lit(1)).alias("_cnt")).collect())
     cnts = np.array([r["_cnt"] for r in rows], dtype=np.int64)
-    total = int(cnts.sum())
     n_strata = max(1, min(n_strata, len(rows)))
     # SPIKE carve-out (round 5): a coarse cell far above the typical
     # density would otherwise be lumped with hundreds of average cells to
@@ -444,16 +443,20 @@ def plan_strata(neighbors: DataFrame, k: int, coarse: int = 64,
     # ~(band cells)x and defeating the per-band tuning exactly where it
     # matters (measured: a 60k-point 0.05-deg hot cell inside a 660k
     # uniform corpus got band cell 0.66 deg instead of ~0.05 deg —
-    # tools/bench_knn_skew.py). Cells with count >= 64x the mean occupied
-    # cell (i.e. local density >= 64x the occupied-area average — the
-    # point where the global/band cell drags >= 64x the candidate target
-    # through the join) become their OWN stratum, tuned to their exact
-    # single-cell density; the 2*n_strata HIGHEST qualify (bounded strata
-    # count — knn_grid_stratified fans branches over driver threads).
+    # tools/bench_knn_skew.py). Cells with count >= 64x the MEDIAN
+    # occupied cell (the point where the global/band cell drags >= 64x
+    # the candidate target through the join) become their OWN stratum,
+    # tuned to their exact single-cell density; the 2*n_strata HIGHEST
+    # qualify (bounded strata count — knn_grid_stratified fans branches
+    # over driver threads). The median, not the mean: the mean includes
+    # the spikes themselves, so several hot cells inflate it past the
+    # threshold and the carve-out self-defeats exactly on multi-spike
+    # skew (20 cells of 10000 over 1000 cells of 1 push the mean to
+    # ~197 and 64x the mean past every spike; the median stays 1).
     # Spike ids start at n_strata, sorted by count so ids stay stable;
     # the remaining cells get the equal-point-mass bands 0..n_strata-1.
     stratum = np.empty(len(rows), dtype=np.int64)
-    spike_thresh = 64.0 * total / len(rows)
+    spike_thresh = 64.0 * float(np.median(cnts))
     spike_idx = np.nonzero(cnts.astype(np.float64) >= spike_thresh)[0]
     spike_idx = spike_idx[np.argsort(cnts[spike_idx], kind="stable")]
     spike_idx = spike_idx[-2 * n_strata:]

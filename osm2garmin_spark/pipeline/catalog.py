@@ -81,11 +81,20 @@ class CatalogServer:
                  wal_path: Optional[str] = None):
         state = {"tables": {}}      # table -> {"seq": int, "manifests": [...]}
         lock = threading.Lock()
+        stopping = {"v": False}
         self.wal_path = wal_path
         wal_f = None
         if wal_path is not None:
             if os.path.exists(wal_path):
-                _replay_wal(wal_path, state)
+                valid_bytes = _replay_wal(wal_path, state)
+                if valid_bytes < os.path.getsize(wal_path):
+                    # torn final line from a mid-append crash: truncate it
+                    # away BEFORE reopening for append — appending onto the
+                    # torn partial would glue two records into one line,
+                    # and the NEXT restart's replay would then drop (or
+                    # refuse) an acknowledged commit
+                    with open(wal_path, "r+b") as tf:
+                        tf.truncate(valid_bytes)
             wal_f = open(wal_path, "a")
 
         def wal_append(rec: dict) -> None:
@@ -128,6 +137,13 @@ class CatalogServer:
                 table = req["table"]
                 replaces = req.get("replaces") or []
                 with lock:
+                    if stopping["v"]:
+                        # stop() closed the WAL under this lock; mutating
+                        # state afterwards would ack a commit that can
+                        # never reach the log — refuse instead
+                        code, body = 503, {"error": "catalog stopping"}
+                        self._send(code, body)
+                        return
                     t = state["tables"].setdefault(
                         table, {"seq": 0, "manifests": []})
                     if t["seq"] != req["expected_seq"]:
@@ -160,27 +176,46 @@ class CatalogServer:
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True)
         self._wal_f = wal_f
+        self._lock = lock
+        self._stopping = stopping
 
     def start(self) -> "CatalogServer":
         self._thread.start()
         return self
 
     def stop(self) -> None:
+        # ThreadingHTTPServer handlers are daemon threads that shutdown()
+        # does NOT join, so an in-flight commit could otherwise mutate
+        # state and then hit the closed WAL file. Flag + close under the
+        # commit lock: any handler holding it finishes its append first;
+        # later commits are refused with 503 before touching state.
+        with self._lock:
+            self._stopping["v"] = True
+            if self._wal_f is not None:
+                self._wal_f.close()
         self._httpd.shutdown()
         self._httpd.server_close()
-        if self._wal_f is not None:
-            self._wal_f.close()
 
 
-def _replay_wal(wal_path: str, state: dict) -> None:
+def _replay_wal(wal_path: str, state: dict) -> int:
     """Rebuild per-table {seq, manifests} from the JSON-lines log. A torn
     FINAL line (crash mid-append) stops the replay there — everything
     before it was fsync'd whole; a corrupt record with further entries
     after it, or an out-of-order seq, means real corruption and fails
-    loudly rather than resuming from wrong state."""
-    with open(wal_path) as f:
+    loudly rather than resuming from wrong state.
+
+    Returns the byte offset of the end of the last replayed record so the
+    caller can truncate a torn tail before reopening for append. A final
+    line WITHOUT its terminating newline is dropped even if it parses:
+    the ack follows the fsync of the whole record, so an unterminated
+    record was never acknowledged — and keeping it while truncation/append
+    logic assumes line-aligned records would corrupt the next append."""
+    with open(wal_path, "rb") as f:
         lines = f.readlines()
+    valid = 0
     for lineno, line in enumerate(lines, 1):
+        if not line.endswith(b"\n"):
+            return valid        # unterminated (necessarily final) line
         try:
             rec = json.loads(line)
         except json.JSONDecodeError:
@@ -188,7 +223,7 @@ def _replay_wal(wal_path: str, state: dict) -> None:
                 raise ValueError(
                     f"catalog WAL {wal_path}:{lineno}: corrupt record "
                     "with later entries present")
-            return
+            return valid
         t = state["tables"].setdefault(
             rec["table"], {"seq": 0, "manifests": []})
         if rec["seq"] != t["seq"] + 1:
@@ -200,6 +235,8 @@ def _replay_wal(wal_path: str, state: dict) -> None:
         if gone:
             t["manifests"] = [m for m in t["manifests"] if m not in gone]
         t["manifests"].append(rec["manifest"])
+        valid += len(line)
+    return valid
 
 
 
@@ -258,6 +295,22 @@ def _table_key(root: str, table: Optional[str]) -> str:
 
 _STATE_LOSS_WARNED: Set[str] = set()
 
+# A missing catalog-referenced blob is legitimate only mid-compaction
+# (the reference-list swap and the covered-blob delete race our read) and
+# resolves within a refetch or two. Bound the refetch loops so a
+# PERMANENTLY missing blob (lost store directory, mismatched WAL+store
+# volumes, manual cleanup) raises a clear error instead of spinning at
+# 100% CPU against the HTTP server forever.
+_COMPACTION_RACE_RETRIES = 50
+
+
+def _blob_missing_error(context: str, mdir: str) -> RuntimeError:
+    return RuntimeError(
+        f"{context}: a catalog-referenced manifest blob stayed missing "
+        f"from {mdir!r} across {_COMPACTION_RACE_RETRIES} state refetches "
+        "— this is not a compaction race; the manifest store and the "
+        "catalog state (WAL) disagree")
+
 
 def _warn_if_state_lost(table: str, st: dict, mdir: str) -> None:
     """ADVICE r4: an in-memory (WAL-less) catalog that restarted reports
@@ -309,6 +362,7 @@ def compact_catalog(root: str, client: CatalogClient,
     table = _table_key(root, table)
     mdir = _manifest_dir(root)
     st = client.state(table)
+    misses = 0
     while True:
         names = st["manifests"]
         if len(names) <= 1:
@@ -317,8 +371,12 @@ def compact_catalog(root: str, client: CatalogClient,
             merged = pa.concat_tables(
                 [_read_manifest_canonical(os.path.join(mdir, n))
                  for n in names])
+            misses = 0
         except FileNotFoundError:
-            st = client.state(table)    # concurrent compactor won
+            misses += 1             # concurrent compactor won — refetch
+            if misses >= _COMPACTION_RACE_RETRIES:
+                raise _blob_missing_error("compact_catalog", mdir)
+            st = client.state(table)
             continue
         name = f"summary-{_uuid.uuid4().hex}.parquet"
         path = os.path.join(mdir, name)
@@ -362,6 +420,7 @@ def commit_with_catalog(root: str, spark: SparkSession, stage: str,
 
     st = client.state(table)
     _warn_if_state_lost(table, st, mdir)
+    misses = 0
     while True:
         expected = st["seq"]
         # conflict read over the manifests the CATALOG references — the
@@ -369,10 +428,15 @@ def commit_with_catalog(root: str, spark: SparkSession, stage: str,
         try:
             taken = tiles_in_manifests(
                 (os.path.join(mdir, n) for n in st["manifests"]), stage)
+            misses = 0
         except FileNotFoundError:
             # a concurrent compact_catalog swapped the reference list and
             # deleted a blob our (stale) state still named — the rows now
-            # live in its summary blob; refetch and retry
+            # live in its summary blob; refetch and retry (bounded: a blob
+            # that stays missing is store/state disagreement, not a race)
+            misses += 1
+            if misses >= _COMPACTION_RACE_RETRIES:
+                raise _blob_missing_error("commit_with_catalog", mdir)
             st = client.state(table)
             continue
         lost = {r[0] for r in rows} & taken
@@ -407,10 +471,11 @@ def read_catalog_lineage(spark: SparkSession, root: str,
     between our state fetch and the scan, the eager existence probe
     below misses and we refetch the (post-swap) reference list."""
     mdir = _manifest_dir(root)
-    while True:
+    for _ in range(_COMPACTION_RACE_RETRIES):
         names = client.state(_table_key(root, table))["manifests"]
         if not names:
             return spark.createDataFrame([], LINEAGE_SCHEMA)
         paths = [os.path.join(mdir, n) for n in names]
         if all(os.path.exists(p) for p in paths):
             return spark.read.schema(LINEAGE_SCHEMA).parquet(*paths)
+    raise _blob_missing_error("read_catalog_lineage", mdir)

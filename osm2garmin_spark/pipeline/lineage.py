@@ -425,7 +425,6 @@ class LineageStore:
                 # no-hardlink fallback: same degraded mode as commit();
                 # writer-unique name, covered files still deleted below
                 _warn_no_hardlink_once(self.lineage_dir)
-                import uuid as _uuid
                 final = os.path.join(
                     self.lineage_dir,
                     f"m{seq:08d}-compact{_uuid.uuid4().hex[:8]}.parquet")
@@ -606,9 +605,10 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
         store.save_tiles(tiles)
 
     if catalog is not None:
-        from .catalog import _manifest_dir, _table_key
+        from .catalog import (_COMPACTION_RACE_RETRIES, _blob_missing_error,
+                              _manifest_dir, _table_key)
         mdir = _manifest_dir(out_dir)
-        while True:
+        for i in range(_COMPACTION_RACE_RETRIES):
             st = catalog.state(_table_key(out_dir, None))
             try:
                 done = tiles_in_manifests(
@@ -617,6 +617,8 @@ def run_tiling_resumable(points: DataFrame, out_dir: str,
                 break
             except FileNotFoundError:
                 continue        # concurrent compaction swapped the list
+        else:
+            raise _blob_missing_error("run_tiling_resumable done-scan", mdir)
     else:
         done = store.completed(spark, "assign")
     pending = [t for t in tiles if t.map_id not in done]

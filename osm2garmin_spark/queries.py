@@ -403,7 +403,11 @@ def stream_session_windows(spark, sf_dir):
 
 _STREAM_SESSION_SQL = """
 WITH base AS (
-  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e
+  -- microsecond epoch, NOT floor(epoch(ts)): Spark timestamps (and
+  -- session_window's gap comparison) carry full microsecond precision,
+  -- so a whole-second oracle would split a true sub-1800s gap whose
+  -- flooring crosses the 1800 mark (e.g. last=...10.9s, next=...1810.2s)
+  SELECT user_id, ts, event_id, epoch_us(ts) AS e
   FROM events
 ), marked AS (
   -- new session iff the gap is >= 1800s: Spark's session window is the
@@ -411,7 +415,8 @@ WITH base AS (
   -- a NEW session (contrast sessionize_events' > 1800, the reference's
   -- closed-interval run semantics)
   SELECT user_id, ts, e, event_id,
-         CASE WHEN e - LAG(e) OVER w >= 1800 THEN 1 ELSE 0 END AS new_sess
+         CASE WHEN e - LAG(e) OVER w >= 1800000000 THEN 1 ELSE 0 END
+           AS new_sess
   FROM base
   WINDOW w AS (PARTITION BY user_id ORDER BY e ASC, event_id ASC)
 ), sess AS (
@@ -1743,8 +1748,11 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
     # FAIL on correct code.
     if sf_dir is not None:
         import os as _os
-        pinned = _os.path.normpath(sf_dir) == _os.path.normpath(
-            "/root/testdata/sf0.01")
+        # abspath, not normpath: a RELATIVE path to the pinned dir (cd
+        # /root && check_oracle testdata/sf0.01) must still count as
+        # pinned, or the exact oracle silently downgrades exactly where
+        # it is supposed to run
+        pinned = _os.path.abspath(sf_dir) == "/root/testdata/sf0.01"
         if not pinned or _parquet_sample_vecs(
                 sf_dir, "embeddings", "vec_id", "embedding", 4096) is None:
             out.pop("ann_ivf_top3")

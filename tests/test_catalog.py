@@ -410,3 +410,89 @@ def test_catalog_client_timeout(tmp_path):
         assert "timed out" in str(ei.value).lower()
     finally:
         srv.close()
+
+
+def test_catalog_wal_torn_tail_truncated_before_append(tmp_path):
+    """Regression (round-5 review): recovery must TRUNCATE a torn final
+    line before reopening the WAL for append. Previously the next commit
+    was glued onto the torn partial, so the SECOND restart either
+    silently dropped that acknowledged commit (merged line = torn tail)
+    or refused to start (corrupt record with later entries) — the
+    documented 'acknowledged commits survive a crash' guarantee broke
+    after the first crash."""
+    wal = str(tmp_path / "glue.wal")
+    srv = CatalogServer(wal_path=wal).start()
+    c = CatalogClient(srv.url)
+    assert c.commit("t", 0, "m1.parquet")[0]
+    assert c.commit("t", 1, "m2.parquet")[0]
+    srv.stop()
+    with open(wal, "a") as f:
+        f.write('{"table": "t", "seq": 3, "manifest": "m3.pa')  # torn
+
+    # first restart: torn tail dropped; a NEW commit is acknowledged
+    srv2 = CatalogServer(wal_path=wal).start()
+    c2 = CatalogClient(srv2.url)
+    assert c2.state("t")["seq"] == 2
+    assert c2.commit("t", 2, "m3-retry.parquet")[0]
+    srv2.stop()
+
+    # second restart: the acknowledged commit MUST survive
+    srv3 = CatalogServer(wal_path=wal).start()
+    try:
+        st = CatalogClient(srv3.url).state("t")
+        assert st == {"seq": 3, "manifests":
+                      ["m1.parquet", "m2.parquet", "m3-retry.parquet"]}
+    finally:
+        srv3.stop()
+
+
+def test_catalog_wal_unterminated_parseable_tail_dropped(tmp_path):
+    """A final line that parses as JSON but lacks its newline was never
+    acknowledged (the ack follows the fsync of the whole record) — it is
+    dropped and truncated, keeping replayed state and file byte-aligned
+    so the next append starts a fresh line."""
+    wal = str(tmp_path / "noterm.wal")
+    srv = CatalogServer(wal_path=wal).start()
+    c = CatalogClient(srv.url)
+    assert c.commit("t", 0, "m1.parquet")[0]
+    srv.stop()
+    with open(wal, "a") as f:                      # complete JSON, no \n
+        f.write('{"table": "t", "seq": 2, "manifest": "m2.parquet"}')
+
+    srv2 = CatalogServer(wal_path=wal).start()
+    c2 = CatalogClient(srv2.url)
+    assert c2.state("t") == {"seq": 1, "manifests": ["m1.parquet"]}
+    assert c2.commit("t", 1, "m2-new.parquet")[0]
+    srv2.stop()
+
+    srv3 = CatalogServer(wal_path=wal).start()
+    try:
+        assert CatalogClient(srv3.url).state("t") == \
+            {"seq": 2, "manifests": ["m1.parquet", "m2-new.parquet"]}
+    finally:
+        srv3.stop()
+
+
+def test_catalog_missing_blob_raises_not_spins(spark, tmp_path, catalog):
+    """Regression (round-5 review): a PERMANENTLY missing catalog-
+    referenced blob (store/state disagreement — lost volume, manual
+    cleanup) must raise a clear error after a bounded number of state
+    refetches, not spin at 100% CPU forever. The in-flight-compaction
+    race this retry exists for resolves within a refetch or two."""
+    from osm2garmin_spark.pipeline.catalog import _manifest_dir
+    from osm2garmin_spark.pipeline.lineage import _purge_manifest_cache
+
+    d = str(tmp_path / "lost")
+    assert commit_with_catalog(d, spark, "assign", "a",
+                               _stats_df(spark, [1, 2]), catalog) == {1, 2}
+    mdir = _manifest_dir(d)
+    blobs = [os.path.join(mdir, n) for n in os.listdir(mdir)]
+    for p in blobs:
+        os.unlink(p)
+    _purge_manifest_cache(blobs)            # simulate a fresh process
+
+    with pytest.raises(RuntimeError, match="stayed missing"):
+        read_catalog_lineage(spark, d, catalog)
+    with pytest.raises(RuntimeError, match="stayed missing"):
+        commit_with_catalog(d, spark, "assign", "b",
+                            _stats_df(spark, [3]), catalog)

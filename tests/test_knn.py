@@ -252,3 +252,55 @@ def test_plan_strata_spike_cell_gets_own_stratum(spark):
                                                 n_strata=n_strata).collect()))
     want = sorted(map(tuple, knn_broadcast(qd, nd, 3).collect()))
     assert got == want
+
+
+def test_plan_strata_multi_spike_median_threshold(spark):
+    """Regression (round-5 review): the spike threshold must be computed
+    against the MEDIAN occupied-cell count, not the mean — with hot mass
+    spread over several cells the spikes inflate the mean past 64x and
+    the carve-out self-defeats (here: 20 cells of ~1000 over ~1000 cells
+    of ~2 push 64x-mean to ~1400 > 1000, carving NOTHING; 64x-median is
+    128 and every hot cell qualifies, capped at the 2*n_strata highest).
+    Results stay bit-identical to broadcast."""
+    from osm2garmin_spark.operators.knn import (knn_broadcast,
+                                                knn_grid_stratified,
+                                                plan_strata)
+
+    rng = np.random.default_rng(23)
+    hot_lat, hot_lon = [], []
+    centers = [(0.7 + 0.93 * i, 19.0 - 0.91 * i) for i in range(20)]
+    for cy, cx in centers:
+        hot_lat.append(cy + rng.uniform(0, 0.05, 1000))
+        hot_lon.append(cx + rng.uniform(0, 0.05, 1000))
+    nb = pd.DataFrame({
+        "n_id": np.arange(22000),
+        "n_lat": np.concatenate([rng.uniform(0, 20, 2000)] + hot_lat),
+        "n_lon": np.concatenate([rng.uniform(0, 20, 2000)] + hot_lon),
+    })
+    nd = spark.createDataFrame(nb)
+    n_strata = 4
+    stats, cell_map, stratum_cells, _ = plan_strata(nd, 3, coarse=32,
+                                                    n_strata=n_strata)
+    spikes = [s for s in stratum_cells if s >= n_strata]
+    # the cap bounds driver-thread fan-out; the 2*n_strata HIGHEST carve
+    # (the old mean rule carved NOTHING here)
+    assert len(spikes) == 2 * n_strata, stratum_cells
+    # every spike cell is tuned to its own ~2500 pts/deg^2 density
+    # (~0.05 deg), not to a sparse-diluted band (the 0.625-deg coarse
+    # step or worse)
+    assert all(stratum_cells[s] < 0.12 for s in spikes), stratum_cells
+
+    q = pd.DataFrame({
+        "q_id": np.arange(150),
+        "q_lat": np.concatenate([rng.uniform(0, 20, 50),
+                                 centers[3][0] + rng.uniform(-0.1, 0.15, 50),
+                                 centers[11][0] + rng.uniform(-0.1, 0.15, 50)]),
+        "q_lon": np.concatenate([rng.uniform(0, 20, 50),
+                                 centers[3][1] + rng.uniform(-0.1, 0.15, 50),
+                                 centers[11][1] + rng.uniform(-0.1, 0.15, 50)]),
+    })
+    qd = spark.createDataFrame(q)
+    got = sorted(map(tuple, knn_grid_stratified(qd, nd, 3, coarse=32,
+                                                n_strata=n_strata).collect()))
+    want = sorted(map(tuple, knn_broadcast(qd, nd, 3).collect()))
+    assert got == want

@@ -17,9 +17,10 @@ Usage: python tools/bench_lineage_commits.py [N] [compact_every]
 """
 
 import json
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from osm2garmin_spark.pipeline import lineage as L   # noqa: E402
 from osm2garmin_spark.session import get_spark       # noqa: E402
