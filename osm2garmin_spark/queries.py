@@ -660,6 +660,43 @@ SELECT event_id, d AS hilbert_r7 FROM hf
 """
 
 
+def s2_cell_encode(spark, sf_dir):
+    """TRUE S2 cell ids (geo/s2.py — quadrilateralized spherical cube +
+    per-face Hilbert curve from the published s2geometry spec, next to
+    cell_encode's planar Z-order analogue): the level-12 cell for every
+    event point via the Arrow-vectorized pandas_udf, and the level-5
+    ancestor via the id prefix algebra (parent = (id & −lsb) | lsb,
+    pure JVM bit arithmetic on the udf output — no second kernel pass).
+    The oracle re-derives the level-5 cell with an INDEPENDENT SQL encode
+    chain, so value equality proves the parent-prefix property across
+    implementations as well as both encodes."""
+    from .geo.s2 import s2_cell_udf, _lsb_for_level
+
+    pts = _event_points(spark, sf_dir)
+    lsb5 = _lsb_for_level(5)
+    return pts.select(
+        "event_id",
+        s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("s2_r12")
+    ).withColumn(
+        "s2_r5",
+        F.col("s2_r12").bitwiseAND(F.lit(-lsb5)).bitwiseOR(F.lit(lsb5)))
+
+
+def _s2_cell_sql() -> str:
+    from .geo.s2 import s2_sql_ctes
+    chain12 = s2_sql_ctes("pts", "event_id", "lat", "lon", 12,
+                          out_cte="s2a", prefix="sa")
+    chain5 = s2_sql_ctes("pts", "event_id", "lat", "lon", 5,
+                         out_cte="s2b", prefix="sb")
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+{chain12},
+{chain5}
+SELECT a.event_id, a.s2_cell AS s2_r12, b.s2_cell AS s2_r5
+FROM s2a a JOIN s2b b ON a.event_id = b.event_id
+"""
+
+
 def relation_tileset(spark, sf_dir):
     """relation→tile union (SplitProcessor.processRelation:128-166):
     relations = nations; node members = customer points, way members =
@@ -1643,6 +1680,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_tileset": way_tileset,
         "relation_tileset": relation_tileset,
         "cell_encode": cell_encode,
+        "s2_cell_encode": s2_cell_encode,
         "knn_customers_suppliers": knn_customers_suppliers,
         "knn_stratified_customers_events": knn_stratified_customers_events,
         "pip_hexagon": pip_hexagon,
@@ -1695,6 +1733,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "way_tileset": _WAY_SQL,
         "relation_tileset": _RELATION_SQL,
         "cell_encode": _cell_encode_sql(),
+        "s2_cell_encode": _s2_cell_sql(),
         "knn_customers_suppliers": _KNN_SQL,
         "knn_stratified_customers_events": _KNN_STRAT_SQL,
         "pip_hexagon": _PIP_SQL,

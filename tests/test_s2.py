@@ -1,0 +1,168 @@
+"""True S2 cell ids (geo/s2.py): face cells, Hilbert adjacency,
+encode/decode round-trip, prefix algebra, geometric edge neighbors,
+numpy/UDF/SQL three-implementation agreement."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from osm2garmin_spark.geo.s2 import (
+    MAX_LEVEL, MAX_SIZE, cell_id_from_latlng, cell_id_from_face_ij,
+    cell_center_latlng, contains, decode, edge_neighbors, level_of,
+    parent_id, range_max, range_min, s2_cell_udf, s2_sql_ctes, token,
+    _ij_from_pos,
+)
+
+
+@pytest.fixture(scope="module")
+def sample():
+    rng = np.random.default_rng(52)
+    lat = rng.uniform(-89.9, 89.9, 600)
+    lon = rng.uniform(-180.0, 180.0, 600)
+    return lat, lon
+
+
+def test_level0_ids_are_the_six_face_cells():
+    # face centers: (lat, lon) at the middle of each cube face
+    centers = [(0, 0), (0, 90), (90, 0), (0, 180), (0, -90), (-90, 0)]
+    lats = np.array([c[0] for c in centers], float)
+    lons = np.array([c[1] for c in centers], float)
+    ids = cell_id_from_latlng(lats, lons, 0)
+    assert token(ids) == ["1", "3", "5", "7", "9", "b"]
+    assert (level_of(ids) == 0).all()
+    # faces 4 and 5 wrap negative in the int64 view — by construction
+    assert (ids[:4] > 0).all() and (ids[4:] < 0).all()
+
+
+def test_hilbert_adjacency_consecutive_positions_are_grid_neighbors():
+    # Any wrong lookup-table entry breaks continuity somewhere: walk the
+    # first 4096 positions of the level-6 curve on every face and demand
+    # each step moves to a 4-neighbor cell.
+    level = 6
+    pos = np.arange(4096, dtype=np.uint64)
+    for face in range(6):
+        i, j = _ij_from_pos(np.full(pos.shape, face), pos, level)
+        d = np.abs(np.diff(i)) + np.abs(np.diff(j))
+        assert (d == 1).all(), face
+
+
+def test_encode_decode_roundtrip_all_levels(sample):
+    lat, lon = sample
+    for level in (0, 1, 5, 12, 20, MAX_LEVEL):
+        ids = cell_id_from_latlng(lat, lon, level)
+        assert (level_of(ids) == level).all()
+        face, i, j, lvl = decode(ids)
+        assert lvl == level
+        again = cell_id_from_face_ij(
+            face, i << (MAX_LEVEL - level), j << (MAX_LEVEL - level), level)
+        assert (again == ids).all()
+        # center of the decoded cell re-encodes to the same cell
+        clat, clon = cell_center_latlng(ids)
+        assert (cell_id_from_latlng(clat, clon, level) == ids).all()
+
+
+def test_parent_prefix_and_range_containment(sample):
+    lat, lon = sample
+    leaf = cell_id_from_latlng(lat, lon, MAX_LEVEL)
+    for level in (0, 4, 9, 17):
+        p = parent_id(leaf, level)
+        # parent == direct encode at the coarser level
+        assert (p == cell_id_from_latlng(lat, lon, level)).all()
+        assert (range_min(p) <= leaf).all() and (leaf <= range_max(p)).all()
+        assert contains(p, leaf).all()
+        if level >= 1:
+            # flipping a PREFIX bit (inside the parent's position field)
+            # moves the leaf outside the parent's range
+            out = leaf ^ (1 << (2 * (MAX_LEVEL - level) + 2))
+            assert not contains(p, out).any()
+            # flipping a bit BELOW the parent's lsb stays contained
+            stay = leaf ^ (1 << (2 * (MAX_LEVEL - level) - 1))
+            assert contains(p, stay).all()
+    # nested parents agree
+    assert (parent_id(parent_id(leaf, 12), 5) == parent_id(leaf, 5)).all()
+
+
+def test_contains_rejects_other_cells(sample):
+    lat, lon = sample
+    a = cell_id_from_latlng(lat, lon, 8)
+    d = cell_id_from_latlng(lat, lon, 16)
+    # shift queries by one full level-8 cell: never contained
+    other = np.roll(d, 1)
+    mask = parent_id(other, 8) != a
+    assert (~contains(a, other)[mask]).all()
+
+
+def test_edge_neighbors_geometric_including_cross_face(sample):
+    lat, lon = sample
+    for level in (2, 7):
+        ids = cell_id_from_latlng(lat, lon, level)
+        nbrs = edge_neighbors(ids)
+        # all four neighbors are distinct, same level, and != self
+        assert (level_of(nbrs.ravel()) == level).all()
+        for k in range(4):
+            assert (nbrs[:, k] != ids).all()
+        # geometric check: nudging the cell center across each edge
+        # midpoint lands in that neighbor
+        face, i, j, lvl = decode(ids)
+        shift = MAX_LEVEL - level
+        # walk to each neighbor's center via the wrap-safe constructor
+        for k, (di, dj) in enumerate([(0, -1), (1, 0), (0, 1), (-1, 0)]):
+            ni = (i + di) << shift
+            nj = (j + dj) << shift
+            inside = (ni >= 0) & (ni < MAX_SIZE) & (nj >= 0) & (nj < MAX_SIZE)
+            # in-face neighbors: independent re-encode of neighbor center
+            clat, clon = cell_center_latlng(nbrs[inside, k])
+            assert (cell_id_from_latlng(clat, clon, level)
+                    == nbrs[inside, k]).all()
+        # cross-face: every id on a face edge still has 4 valid neighbors
+        on_edge = (i == 0) | (j == 0) | (i == (1 << level) - 1) \
+            | (j == (1 << level) - 1)
+        if on_edge.any():
+            sub = nbrs[on_edge]
+            clat, clon = cell_center_latlng(sub.ravel())
+            assert (cell_id_from_latlng(clat, clon, level)
+                    == sub.ravel()).all()
+
+
+def test_poles_and_antimeridian():
+    ids = cell_id_from_latlng(np.array([90.0, -90.0, 0.0, 0.0]),
+                              np.array([123.0, -45.0, 180.0, -180.0]), 10)
+    assert (level_of(ids) == 10).all()
+    f, _, _, _ = decode(ids)
+    assert f[0] == 2 and f[1] == 5          # polar faces
+    assert f[2] == f[3] == 3                # ±180° is one meridian
+
+
+def test_token_roundtrip_format(sample):
+    lat, lon = sample
+    ids = cell_id_from_latlng(lat[:16], lon[:16], 9)
+    for t, v in zip(token(ids), np.asarray(ids).view(np.uint64)):
+        assert format(int(v), "016x").rstrip("0") == t
+        assert 1 <= len(t) <= 16
+
+
+def test_udf_matches_numpy(spark, sample):
+    import pandas as pd
+    lat, lon = sample
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    got = np.array([r["c"] for r in df.select(
+        s2_cell_udf(12)(df.lat, df.lon).alias("c")).collect()])
+    # collect() preserves no order guarantee across partitions on some
+    # plans; compare as multisets of the deterministic single-partition df
+    want = cell_id_from_latlng(lat, lon, 12)
+    assert sorted(got.tolist()) == sorted(want.tolist())
+
+
+def test_sql_twin_bit_identical(sample):
+    lat, lon = sample
+    con = duckdb.connect()
+    import pandas as pd
+    con.register("t", pd.DataFrame(
+        {"rid": np.arange(len(lat)), "lat": lat, "lon": lon}))
+    for level in (5, 12):
+        chain = s2_sql_ctes("t", "rid", "lat", "lon", level)
+        got = con.execute(
+            f"WITH {chain} SELECT s2_cell FROM s2f ORDER BY rid"
+        ).df()["s2_cell"].to_numpy()
+        want = cell_id_from_latlng(lat, lon, level)
+        assert (got == want).all(), level
