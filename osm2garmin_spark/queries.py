@@ -697,6 +697,37 @@ FROM s2a a JOIN s2b b ON a.event_id = b.event_id
 """
 
 
+def hex_cell_encode(spark, sf_dir):
+    """Aperture-7 hexagonal cell ids (geo/hex.py — the H3-semantics
+    index the north-star's "H3 res 5-9" columns call for, planar as
+    disclosed in the module docstring): the res-9 cell for every event
+    point via the linearized Catalyst digit walk (pure JVM, one narrow
+    Project per level), and the res-5 ancestor via the id truncation
+    algebra (OR-fill the dropped 3-bit digit slots to 7 — H3's unused-
+    digit convention — pure bit arithmetic, no second encode). The
+    oracle re-derives BOTH ids from one independent SQL digit
+    extraction, so value equality proves the hierarchy algebra across
+    implementations as well as the encode itself."""
+    from .geo.hex import attach_hex_id, hex_parent_col
+
+    pts = _event_points(spark, sf_dir)
+    out = attach_hex_id(pts, F.col("lat"), F.col("lon"), 9, "hex_r9")
+    return out.select(
+        "event_id", "hex_r9",
+        hex_parent_col(F.col("hex_r9"), 9, 5).alias("hex_r5"))
+
+
+def _hex_cell_sql() -> str:
+    from .geo.hex import hex_sql_ctes
+    chain = hex_sql_ctes("pts", "event_id", "lat", "lon", 9,
+                         out_levels=[9, 5])
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+{chain}
+SELECT event_id, hex_r9, hex_r5 FROM hexf
+"""
+
+
 def relation_tileset(spark, sf_dir):
     """relation→tile union (SplitProcessor.processRelation:128-166):
     relations = nations; node members = customer points, way members =
@@ -862,6 +893,32 @@ WITH cust AS (
 )
 SELECT c_custkey, event_id, rnk FROM ranked WHERE rnk <= 3
 """
+
+
+def knn_hex_customers_events(spark, sf_dir):
+    """Hex k-ring exact 3-NN (operators/knn_hex.py — the north-star's
+    "kNN lookup via H3 k-ring expansion with a sort-merge refine"):
+    customer points -> 3 nearest event points via 7-cell flower joins on
+    the aperture-7 lattice, escalating one resolution coarser per round.
+    The explicit res forces the k-ring path at gate scale (auto-tuning
+    would dispatch a 10k-row neighbor table to the broadcast kernel) and
+    sits finer than the tuned value so the escalation machinery is
+    exercised; exactness is resolution-independent, so the oracle is the
+    plain cross-join window — the same contract as the grid twins."""
+    from .operators.knn_hex import knn_hex_kring
+
+    par = spark.sparkContext.defaultParallelism
+    cust = _read(spark, sf_dir, "customer").repartition(par).select(
+        F.col("c_custkey").alias("q_id"),
+        derived_lat(F.col("c_custkey") + 900000).alias("q_lat"),
+        derived_lon(F.col("c_custkey") + 900000).alias("q_lon"))
+    ev = _read(spark, sf_dir, "events").repartition(par).select(
+        F.col("event_id").alias("n_id"),
+        derived_lat(F.col("event_id")).alias("n_lat"),
+        derived_lon(F.col("event_id")).alias("n_lon")).localCheckpoint()
+    out = knn_hex_kring(cust, ev, k=3, res=3)
+    return out.select(F.col("q_id").alias("c_custkey"),
+                      F.col("n_id").alias("event_id"), "rnk")
 
 
 def pip_hexagon(spark, sf_dir):
@@ -1681,8 +1738,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_tileset": relation_tileset,
         "cell_encode": cell_encode,
         "s2_cell_encode": s2_cell_encode,
+        "hex_cell_encode": hex_cell_encode,
         "knn_customers_suppliers": knn_customers_suppliers,
         "knn_stratified_customers_events": knn_stratified_customers_events,
+        "knn_hex_customers_events": knn_hex_customers_events,
         "pip_hexagon": pip_hexagon,
         "doc_text_features": doc_text_features,
         "doc_fingerprints": doc_fingerprints,
@@ -1734,8 +1793,10 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "relation_tileset": _RELATION_SQL,
         "cell_encode": _cell_encode_sql(),
         "s2_cell_encode": _s2_cell_sql(),
+        "hex_cell_encode": _hex_cell_sql(),
         "knn_customers_suppliers": _KNN_SQL,
         "knn_stratified_customers_events": _KNN_STRAT_SQL,
+        "knn_hex_customers_events": _KNN_STRAT_SQL,
         "pip_hexagon": _PIP_SQL,
         "doc_text_features": _TEXT_FEATURES_SQL,
         "doc_fingerprints": _FP_SQL,
