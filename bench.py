@@ -166,12 +166,35 @@ def main():
 
     timed("knn_grid_600k_neighbors", knn_grid_bench)
 
+    # ---- hex-k-ring kNN at the same scale: the 7-cell-flower twin of
+    # the bench above (same corpus, same k) — explicit res forces the
+    # k-ring path and a non-empty escalation, so the two entries compare
+    # square-ring (9x explode) vs hex-flower (7x explode) head-to-head
+    def knn_hex_bench():
+        from pyspark.sql import functions as F
+        from osm2garmin_spark.expressions import derived_lat, derived_lon
+        from osm2garmin_spark.operators.knn_hex import knn_hex_kring
+
+        neigh = spark.range(0, 600_000).select(
+            F.col("id").alias("n_id"),
+            derived_lat(F.col("id")).alias("n_lat"),
+            derived_lon(F.col("id")).alias("n_lon"))
+        qpts = spark.range(600_000, 700_000).select(
+            F.col("id").alias("q_id"),
+            derived_lat(F.col("id")).alias("q_lat"),
+            derived_lon(F.col("id")).alias("q_lon"))
+        out = knn_hex_kring(qpts, neigh, k=3, res=5)
+        extra["knn_hex_rows"] = out.count()
+
+    timed("knn_hex_600k_neighbors", knn_hex_bench)
+
     # ---- headline sf-dir queries -----------------------------------------
     qs = Q.queries()
     headline = ["q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
                 "top3_orders_per_customer", "density_histogram",
                 "tile_assign_fixed", "way_tileset", "knn_customers_suppliers",
-                "knn_stratified_customers_events",
+                "knn_stratified_customers_events", "knn_hex_customers_events",
+                "s2_cell_encode", "hex_cell_encode",
                 "pip_hexagon", "doc_text_features", "doc_simhash",
                 "doc_token_bpe", "jaccard_pairs_docs", "embed_top3",
                 "minhash_candidates", "dedup_clusters_docs",

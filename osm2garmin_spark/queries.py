@@ -921,6 +921,43 @@ def knn_hex_customers_events(spark, sf_dir):
                       F.col("n_id").alias("event_id"), "rnk")
 
 
+_COVER_RECT = (10.0, 45.0, -30.0, 40.0)     # lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def hex_cover_filter(spark, sf_dir):
+    """Index-covering selection (geo/hex.py cover_rect — the partition-
+    pruning pattern for a cell-keyed corpus): enumerate the res-4 hex
+    cells covering a bbox driver-side (a few thousand, provably complete
+    via the circumradius expansion), broadcast-join the fact table on
+    its own cell key (fact side never shuffles — the same shape as the
+    tile-assign accelerator), then apply the exact bbox residual.
+    The oracle is the plain bbox predicate, so value equality proves the
+    covering dropped nothing and the residual dropped the overshoot."""
+    from .geo.hex import cover_rect, hex_ij_cols
+
+    lat_lo, lat_hi, lon_lo, lon_hi = _COVER_RECT
+    res = 4
+    cov = cover_rect(lat_lo, lat_hi, lon_lo, lon_hi, res)
+    cov_df = spark.createDataFrame(
+        [(int(i), int(j)) for i, j in cov], "ci long, cj long")
+    pts = _event_points(spark, sf_dir)
+    i_c, j_c = hex_ij_cols(F.col("lat"), F.col("lon"), res)
+    keyed = pts.select("event_id", "lat", "lon",
+                       i_c.alias("ci"), j_c.alias("cj"))
+    return (keyed.join(F.broadcast(cov_df), ["ci", "cj"], "inner")
+            .filter((F.col("lat") >= lat_lo) & (F.col("lat") <= lat_hi)
+                    & (F.col("lon") >= lon_lo) & (F.col("lon") <= lon_hi))
+            .select("event_id"))
+
+
+_HEX_COVER_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL})
+SELECT event_id FROM pts
+WHERE lat BETWEEN {_COVER_RECT[0]} AND {_COVER_RECT[1]}
+  AND lon BETWEEN {_COVER_RECT[2]} AND {_COVER_RECT[3]}
+"""
+
+
 def pip_hexagon(spark, sf_dir):
     """point-in-polygon via vectorized ray casting (Region .poly semantics)."""
     pts = _event_points(spark, sf_dir)
@@ -1742,6 +1779,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_customers_suppliers": knn_customers_suppliers,
         "knn_stratified_customers_events": knn_stratified_customers_events,
         "knn_hex_customers_events": knn_hex_customers_events,
+        "hex_cover_filter": hex_cover_filter,
         "pip_hexagon": pip_hexagon,
         "doc_text_features": doc_text_features,
         "doc_fingerprints": doc_fingerprints,
@@ -1797,6 +1835,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "knn_customers_suppliers": _KNN_SQL,
         "knn_stratified_customers_events": _KNN_STRAT_SQL,
         "knn_hex_customers_events": _KNN_STRAT_SQL,
+        "hex_cover_filter": _HEX_COVER_SQL,
         "pip_hexagon": _PIP_SQL,
         "doc_text_features": _TEXT_FEATURES_SQL,
         "doc_fingerprints": _FP_SQL,

@@ -233,6 +233,38 @@ def test_extreme_coordinates():
         assert (i == wi).all() and (j == wj).all()
 
 
+def test_cover_rect_complete_and_tight():
+    from osm2garmin_spark.geo.hex import cover_rect, spacing_deg
+    rng = np.random.default_rng(54)
+    lat_lo, lat_hi, lon_lo, lon_hi = 12.5, 38.0, -20.0, 31.0
+    for res in (3, 5):
+        cov = {tuple(c) for c in cover_rect(lat_lo, lat_hi,
+                                            lon_lo, lon_hi, res)}
+        # completeness: every point in the rect lands in a covered cell
+        lat = rng.uniform(lat_lo, lat_hi, 3000)
+        lon = rng.uniform(lon_lo, lon_hi, 3000)
+        i, j = hex_ij_np(lat, lon, res)
+        assert all((int(a), int(b)) in cov for a, b in zip(i, j))
+        # rect corners and edges included
+        ce_lat = np.array([lat_lo, lat_lo, lat_hi, lat_hi, lat_lo])
+        ce_lon = np.array([lon_lo, lon_hi, lon_lo, lon_hi, lon_hi])
+        ic, jc = hex_ij_np(ce_lat, ce_lon, res)
+        assert all((int(a), int(b)) in cov for a, b in zip(ic, jc))
+        # tightness: covered-cell count within a small factor of
+        # rect area / cell area (the circumradius rim is the overhead)
+        cell_area = 2 * np.sqrt(3.0) * (spacing_deg(res) / 2.0) ** 2
+        expect = (lat_hi - lat_lo) * (lon_hi - lon_lo) / cell_area
+        assert expect * 0.9 <= len(cov) <= expect * 2.0
+
+
+def test_cover_rect_guards():
+    from osm2garmin_spark.geo.hex import cover_rect
+    with pytest.raises(ValueError):
+        cover_rect(10, 5, 0, 1, 4)              # empty rect
+    with pytest.raises(ValueError):
+        cover_rect(-80, 80, -170, 170, 12)      # way too fine: cell cap
+
+
 def test_res_bounds_rejected():
     with pytest.raises(ValueError):
         hex_id_np([0.0], [0.0], MAX_RES + 1)
