@@ -183,7 +183,12 @@ def main():
             F.col("id").alias("q_id"),
             derived_lat(F.col("id")).alias("q_lat"),
             derived_lon(F.col("id")).alias("q_lon"))
-        out = knn_hex_kring(qpts, neigh, k=3, res=5)
+        # res 4 sits one step finer than the auto-tuned lattice (a=0.52
+        # deg -> between res 3 and 4), mirroring the grid bench's
+        # explicit 0.4 deg cell: forces the k-ring path plus a non-empty
+        # escalation tail without degenerating (res 5's flower holds
+        # ~3.6 expected candidates for k=3 -> near-universal escalation)
+        out = knn_hex_kring(qpts, neigh, k=3, res=4)
         extra["knn_hex_rows"] = out.count()
 
     timed("knn_hex_600k_neighbors", knn_hex_bench)
@@ -194,7 +199,7 @@ def main():
                 "top3_orders_per_customer", "density_histogram",
                 "tile_assign_fixed", "way_tileset", "knn_customers_suppliers",
                 "knn_stratified_customers_events", "knn_hex_customers_events",
-                "s2_cell_encode", "hex_cell_encode",
+                "s2_cell_encode", "hex_cell_encode", "hex_cover_filter",
                 "pip_hexagon", "doc_text_features", "doc_simhash",
                 "doc_token_bpe", "jaccard_pairs_docs", "embed_top3",
                 "minhash_candidates", "dedup_clusters_docs",

@@ -78,12 +78,16 @@ def latlng_to_xyz(lat_deg, lon_deg):
 
 
 def xyz_to_face_uv(x, y, z):
-    """Largest-|component| face selection + the published per-face UV."""
+    """Largest-|component| face selection + the published per-face UV.
+
+    Tie preference on equal magnitudes is z, then y, then x — exactly
+    the canonical LargestAbsComponent branch order (x wins only when
+    STRICTLY largest; a tie falls through toward z), so exact-boundary
+    points (|x| == |y| etc.) get the same face the s2geometry library
+    assigns.  The SQL twin mirrors the same CASE order."""
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    # argmax with x-then-y-then-z tie preference (self-consistent with
-    # the SQL twin's CASE ordering)
-    fx = (ax >= ay) & (ax >= az)
-    fy = ~fx & (ay >= az)
+    fx = (ax > ay) & (ax > az)
+    fy = ~fx & (ay > az)
     face = np.where(fx, np.where(x >= 0, 0, 3),
                     np.where(fy, np.where(y >= 0, 1, 4),
                              np.where(z >= 0, 2, 5)))
@@ -190,6 +194,8 @@ def cell_id_from_face_ij(face, i, j, level: int = MAX_LEVEL) -> np.ndarray:
 
 
 def cell_id_from_latlng(lat_deg, lon_deg, level: int = MAX_LEVEL):
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
     x, y, z = latlng_to_xyz(lat_deg, lon_deg)
     face, u, v = xyz_to_face_uv(x, y, z)
     i = st_to_ij(uv_to_st(u))
@@ -291,11 +297,18 @@ def edge_neighbors(cell_id) -> np.ndarray:
     cols = []
     for ni, nj in cand:
         inside = (ni >= 0) & (ni < MAX_SIZE) & (nj >= 0) & (nj < MAX_SIZE)
-        same = cell_id_from_face_ij(
+        out = cell_id_from_face_ij(
             face, np.clip(ni, 0, MAX_SIZE - 1),
             np.clip(nj, 0, MAX_SIZE - 1), level)
-        wrap = _from_face_ij_wrap(face, ni, nj, level)
-        cols.append(np.where(inside, same, wrap))
+        # the float bridge + full leaf re-encode runs only on the rows
+        # that actually cross a face (~4/2^level of them), not the batch
+        cross = np.nonzero(~inside)[0]
+        if cross.size:
+            out = out.copy()
+            out[cross] = _from_face_ij_wrap(
+                np.asarray(face)[cross], np.asarray(ni)[cross],
+                np.asarray(nj)[cross], level)
+        cols.append(out)
     return np.stack(cols, axis=-1)
 
 
@@ -325,11 +338,22 @@ def s2_cell_udf(level: int):
     the function's globals."""
     from pyspark.sql import functions as F
 
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
+
     @F.pandas_udf("long")
     def _s2(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        ids = cell_id_from_latlng(lat.to_numpy(np.float64),
-                                  lon.to_numpy(np.float64), level)
-        return pd.Series(np.atleast_1d(ids))
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        # null/NaN coordinates -> null id (matching the SQL twin, which
+        # propagates NULL; casting NaN to int64 would mint a plausible-
+        # looking but arbitrary cell id)
+        ok = np.isfinite(la) & np.isfinite(lo)
+        ids = np.atleast_1d(cell_id_from_latlng(
+            np.where(ok, la, 0.0), np.where(ok, lo, 0.0), level))
+        arr = pd.array(ids, dtype="Int64")
+        arr[~np.atleast_1d(ok)] = pd.NA
+        return pd.Series(arr)
 
     return _s2
 
@@ -348,9 +372,9 @@ def s2_sql_ctes(src_cte: str, id_col: str, lat_expr: str, lon_expr: str,
     x = f"cos(radians({lat_expr})) * cos(radians({lon_expr}))"
     y = f"cos(radians({lat_expr})) * sin(radians({lon_expr}))"
     z = f"sin(radians({lat_expr}))"
-    face = ("CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN "
+    face = ("CASE WHEN abs(x) > abs(y) AND abs(x) > abs(z) THEN "
             "(CASE WHEN x >= 0 THEN 0 ELSE 3 END) "
-            "WHEN abs(y) >= abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END) "
+            "WHEN abs(y) > abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END) "
             "ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END")
     u = ("CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z "
          "WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END")

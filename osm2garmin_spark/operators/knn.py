@@ -195,6 +195,11 @@ def knn_grid(queries: DataFrame, neighbors: DataFrame, k: int,
     split computes) and each band runs this operator with a cell tuned
     to its own density.
 
+    MAINTENANCE: ``operators/knn_hex.py::knn_hex_kring`` is a structural
+    twin of this loop (hex flower keys + isotropic margins instead of
+    square rings); a change to the escalation/checkpoint/broadcast
+    discipline here must be mirrored there (both carry this note).
+
     Iteration discipline: every per-level intermediate (query cells,
     top-k, escalated set) is ``localCheckpoint``ed, not persisted —
     checkpointing truncates the logical plan, which otherwise embeds the

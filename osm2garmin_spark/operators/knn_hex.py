@@ -40,6 +40,11 @@ vs knn_grid (square cells): the flower explodes 7 cells instead of 9
 isotropy makes the covered radius direction-independent — the square
 ring's worst case is its diagonal.  Reference analogue:
 DefaultCityFinder.java:39-105 (sort + refine over candidate cities).
+
+MAINTENANCE: this loop is a structural twin of
+``operators/knn.py::knn_grid``; a change to the escalation/checkpoint/
+broadcast discipline in either must be mirrored in the other (both
+carry this note).
 """
 
 from __future__ import annotations
@@ -84,8 +89,19 @@ def tune_res(n: int, lat0, lat1, lon0, lon1, k: int) -> int:
 
 def _cell_cols(lat_col, lon_col, res: int):
     """(key, qdist-components): packed cell key plus the cell-center
-    (x, y) in degrees for the margin computation — all pure JVM."""
+    (x, y) in degrees for the margin computation — all pure JVM.
+
+    The (i, j) -> key packing is injective only for |i|, |j| < 2^27;
+    geographic coordinates stay under ~7M even at MAX_KNN_RES (10x
+    headroom), but a garbage coordinate from an upstream unit bug could
+    overflow the j field into i and collide with a VALID cell's key, so
+    both axes clamp to the packing-safe range first.  Clamped rows are
+    off-planet garbage whose own results carry no exactness contract;
+    the clamp exists to keep them from polluting valid cells' keys."""
     i, j = hx.hex_ij_cols(lat_col, lon_col, res)
+    lim = _KEY_OFF - 1
+    i = F.greatest(F.lit(-lim), F.least(F.lit(lim), i))
+    j = F.greatest(F.lit(-lim), F.least(F.lit(lim), j))
     key = (i + F.lit(_KEY_OFF)) * F.lit(1 << _KEY_SHIFT) \
         + (j + F.lit(_KEY_OFF))
     m = hx.basis(res)

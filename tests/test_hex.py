@@ -272,3 +272,17 @@ def test_res_bounds_rejected():
         hex_id_np([0.0], [0.0], -1)
     with pytest.raises(ValueError):
         parent_id(hex_id_np([0.0], [0.0], 3), 5)
+    with pytest.raises(ValueError):
+        hex_cell_udf(MAX_RES + 1)
+
+
+def test_udf_null_coordinates_yield_null(spark):
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "rid": [0, 1, 2],
+        "lat": [10.0, float("nan"), None],
+        "lon": [20.0, 30.0, 40.0]}))
+    rows = df.select("rid", hex_cell_udf(7)(df.lat, df.lon).alias("c")) \
+        .orderBy("rid").collect()
+    assert rows[0]["c"] is not None
+    assert rows[1]["c"] is None and rows[2]["c"] is None

@@ -300,3 +300,57 @@ def test_distributed_split_jobs_per_level_bounded(spark):
     cells.unpersist()
     assert tiles and stats["levels"] >= 3
     assert (n1 - n0) <= 3 * stats["levels"], (n1 - n0, stats["levels"])
+
+
+def test_hex_cover_filter_is_broadcast_no_fact_shuffle(spark):
+    """Index-covering selection: the covering joins as a broadcast on
+    the fact table's own cell key — the fact side must reach the join
+    without an Exchange (the partition-pruning shape, not a shuffle)."""
+    from osm2garmin_spark.queries import hex_cover_filter
+
+    plan = _plan(hex_cover_filter(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "Broadcast" in line, f"fact-side shuffle leaked in: {line}"
+
+
+def test_knn_hex_explodes_query_side(spark, monkeypatch):
+    """Hex k-ring kNN: the 7-cell flower explode must land on the QUERY
+    side; the neighbor table is keyed by its single cell and never
+    exploded. localCheckpoint is no-opped so the pre-checkpoint plan
+    stays inspectable (the shipped plan truncates at every level)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+    from osm2garmin_spark.operators import knn_hex as KH
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint",
+                        lambda self, eager=True: self)
+    qs = spark.range(0, 50).select(
+        F.col("id").alias("q_id"), (F.col("id") * 0.1).alias("q_lat"),
+        (F.col("id") * 0.2).alias("q_lon"))
+    ns = spark.range(0, 500).select(
+        F.col("id").alias("n_id"), (F.col("id") * 0.01).alias("n_lat"),
+        (F.col("id") * 0.02).alias("n_lon"))
+    out = KH.knn_hex_kring(qs, ns, k=3, res=0)   # one flower covers all
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+
+    def indent(s):
+        return len(s) - len(s.lstrip(" :+-"))
+
+    subtrees = []
+    for i, l in enumerate(lines):
+        if "Generate explode" not in l:
+            continue
+        d = indent(l)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if indent(nxt) <= d:
+                break
+            sub.append(nxt)
+        subtrees.append("\n".join(sub))
+    assert subtrees, plan
+    assert all("q_lat" in s and "n_lat" not in s for s in subtrees), plan
+    rows = out.collect()
+    assert {r["q_id"] for r in rows} == set(range(50))

@@ -124,6 +124,76 @@ def test_edge_neighbors_geometric_including_cross_face(sample):
                     == sub.ravel()).all()
 
 
+def test_edge_neighbors_by_nudged_points(sample):
+    """The adjacency claim tested for real: a point 90% of the way from
+    a cell's center to its reported neighbor's center (interpolated in
+    XYZ, so antimeridian/pole-safe) lies well inside that neighbor and
+    must ENCODE into it — a wrong-but-valid neighbor id (e.g. a wrap
+    bug picking the wrong receiving face) fails this, whereas re-
+    encoding the neighbor's own center cannot."""
+    from osm2garmin_spark.geo.s2 import latlng_to_xyz
+    lat, lon = sample
+    for level in (2, 6):
+        ids = cell_id_from_latlng(lat, lon, level)
+        nbrs = edge_neighbors(ids)
+        clat, clon = cell_center_latlng(ids)
+        cx, cy, cz = latlng_to_xyz(clat, clon)
+        for kdir in range(4):
+            nlat, nlon = cell_center_latlng(nbrs[:, kdir])
+            nx, ny, nz = latlng_to_xyz(nlat, nlon)
+            t = 0.9
+            px = (1 - t) * cx + t * nx
+            py = (1 - t) * cy + t * ny
+            pz = (1 - t) * cz + t * nz
+            plat = np.degrees(np.arctan2(pz, np.hypot(px, py)))
+            plon = np.degrees(np.arctan2(py, px))
+            assert (cell_id_from_latlng(plat, plon, level)
+                    == nbrs[:, kdir]).all(), (level, kdir)
+
+
+def test_face_tiebreak_matches_canonical():
+    """EXACT-magnitude ties pick the face the published
+    LargestAbsComponent picks: x wins only when strictly largest, ties
+    fall through toward z.  (Trig-derived coords like lon=45 deg are 1
+    ulp off an exact tie, so the branch is probed on raw XYZ.)"""
+    from osm2garmin_spark.geo.s2 import xyz_to_face_uv
+    v = 1.0 / np.sqrt(3.0)
+
+    def face_of(x, y, z):
+        f, _, _ = xyz_to_face_uv(np.array([x]), np.array([y]),
+                                 np.array([z]))
+        return int(f[0])
+
+    assert face_of(v, v, 0.0) == 1          # |x|==|y| -> y wins
+    assert face_of(-v, -v, 0.0) == 4
+    assert face_of(v, 0.0, v) == 2          # |x|==|z| -> z wins
+    assert face_of(0.0, v, -v) == 5         # |y|==|z| -> z wins
+    assert face_of(v, v, v) == 2            # all equal -> z
+    assert face_of(2 * v, v, v) == 0        # strict x max -> x
+
+
+def test_level_bounds_rejected():
+    with pytest.raises(ValueError):
+        cell_id_from_latlng([0.0], [0.0], -1)
+    with pytest.raises(ValueError):
+        cell_id_from_latlng([0.0], [0.0], MAX_LEVEL + 1)
+    with pytest.raises(ValueError):
+        s2_cell_udf(31)
+
+
+def test_udf_null_coordinates_yield_null(spark):
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "rid": [0, 1, 2, 3],
+        "lat": [10.0, float("nan"), 20.0, None],
+        "lon": [20.0, 30.0, float("nan"), 40.0]}))
+    rows = df.select("rid", s2_cell_udf(9)(df.lat, df.lon).alias("c")) \
+        .orderBy("rid").collect()
+    assert rows[0]["c"] is not None
+    assert rows[1]["c"] is None and rows[2]["c"] is None
+    assert rows[3]["c"] is None
+
+
 def test_poles_and_antimeridian():
     ids = cell_id_from_latlng(np.array([90.0, -90.0, 0.0, 0.0]),
                               np.array([123.0, -45.0, 180.0, -180.0]), 10)
