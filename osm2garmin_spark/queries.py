@@ -921,6 +921,55 @@ def knn_hex_customers_events(spark, sf_dir):
                       F.col("n_id").alias("event_id"), "rnk")
 
 
+def tile_boundary_raster(spark, sf_dir):
+    """Vector->raster bridge (operators/rasterize.py — the north-star's
+    "rasterizes tile boundaries", the explicit artifact behind the
+    reference writer grid SplitProcessor.java:430-501): paint the fixed
+    regression tiles' extended closed bboxes onto the planet-aligned
+    2^17-map-unit pixel grid and return the boundary (rim) pixels.
+    Pure-JVM sequence/explode painting; the oracle re-derives the pixel
+    rects from the RAW tile bounds with SQL floor arithmetic and
+    generate_series, so value equality checks the integer pixel algebra
+    end-to-end.  (sf_dir unused: the tile set is the fixture, like the
+    reference's regression areas.list.)"""
+    from .operators.rasterize import rasterize_tiles
+
+    return rasterize_tiles(spark, _FIXED_TILES, shift=17, overlap=_OVERLAP,
+                           boundary_only=True) \
+        .select("tile_id", "py", "px")
+
+
+def _tile_raster_sql() -> str:
+    vals = ", ".join(
+        f"({t.map_id}, {t.min_lat}, {t.max_lat}, {t.min_long}, {t.max_long})"
+        for t in _FIXED_TILES)
+    s = 1 << 17
+    from .geo.cells import ORIGIN_LAT, ORIGIN_LON
+    return f"""
+WITH tiles(tile_id, lat0, lat1, lon0, lon1) AS (VALUES {vals}),
+rects AS (
+  SELECT tile_id,
+         (lat0 - {_OVERLAP} - ({ORIGIN_LAT})) // {s} AS py0,
+         (lat1 + {_OVERLAP} - ({ORIGIN_LAT})) // {s} AS py1,
+         (lon0 - {_OVERLAP} - ({ORIGIN_LON})) // {s} AS px0,
+         (lon1 + {_OVERLAP} - ({ORIGIN_LON})) // {s} AS px1
+  FROM tiles
+),
+filled AS (
+  SELECT tile_id, py0, py1, px0, px1,
+         unnest(generate_series(py0, py1)) AS py
+  FROM rects
+),
+pix AS (
+  SELECT tile_id, py0, py1, px0, px1, py,
+         unnest(generate_series(px0, px1)) AS px
+  FROM filled
+)
+SELECT tile_id, py, px FROM pix
+WHERE py = py0 OR py = py1 OR px = px0 OR px = px1
+"""
+
+
 _COVER_RECT = (10.0, 45.0, -30.0, 40.0)     # lat_lo, lat_hi, lon_lo, lon_hi
 
 
@@ -1780,6 +1829,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_stratified_customers_events": knn_stratified_customers_events,
         "knn_hex_customers_events": knn_hex_customers_events,
         "hex_cover_filter": hex_cover_filter,
+        "tile_boundary_raster": tile_boundary_raster,
         "pip_hexagon": pip_hexagon,
         "doc_text_features": doc_text_features,
         "doc_fingerprints": doc_fingerprints,
@@ -1836,6 +1886,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "knn_stratified_customers_events": _KNN_STRAT_SQL,
         "knn_hex_customers_events": _KNN_STRAT_SQL,
         "hex_cover_filter": _HEX_COVER_SQL,
+        "tile_boundary_raster": _tile_raster_sql(),
         "pip_hexagon": _PIP_SQL,
         "doc_text_features": _TEXT_FEATURES_SQL,
         "doc_fingerprints": _FP_SQL,
