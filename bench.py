@@ -97,10 +97,17 @@ def main():
     # embarrassingly-parallel cost at corpus scale — rows joined, tiled AND
     # verified per second. Only runs when explicitly requested (--only).
     def tiling_verified_bench():
+        # phase walls recorded so the N-vs-4N scaling evidence can separate
+        # the parallel decode/verify pass from the driver-side quadtree
+        # (the job's only serial component) — see tools/bench_scaling.py
         from osm2garmin_spark.pipeline.verify_tiles import tile_verification_summary
+        p0 = time.perf_counter()
         res = run_tiling_pipeline(corpus, max_nodes=100_000, resolution=11)
+        extra["phase_plan_sec"] = round(time.perf_counter() - p0, 3)
         summary = tile_verification_summary(res.assigned)
         agg = summary.agg({"n_rows": "sum", "n_pixel_ok": "sum"}).collect()[0]
+        extra["phase_verify_sec"] = round(time.perf_counter() - p0
+                                          - extra["phase_plan_sec"], 3)
         extra["tile_assignments"] = int(agg["sum(n_rows)"])
         extra["verified_ok"] = int(agg["sum(n_pixel_ok)"])
         extra["n_tiles"] = len(res.tiles)

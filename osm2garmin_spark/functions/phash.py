@@ -1,0 +1,166 @@
+"""Perceptual-hash (pHash) near-duplicate detection for image corpora.
+
+The image-payload twin of the text MinHash-LSH path (functions/dedup.py):
+the input shape (BASELINE input_hint) carries a ``phash:int64`` column —
+a 64-bit mean-threshold fingerprint of the 8×8 nearest-neighbor
+downsample of the decoded grayscale image — and near-duplicate images
+differ in few fingerprint bits.
+
+Operators:
+
+- ``phash_from_bytes``   recompute the fingerprint from the stored bytes
+                         (decode → 8×8 nearest downsample → mean
+                         threshold → 64-bit pack), Arrow-batched
+                         mapInPandas; for lossless formats the result is
+                         bit-identical to a fingerprint computed at
+                         ingest time, for lossy formats it drifts by the
+                         codec's bit error (pinned in tests).
+- ``phash_bands``        split the 64-bit hash into ``bands`` disjoint
+                         fixed-width bit bands (JVM shift/mask exprs).
+- ``phash_near_pairs``   all pairs with hamming(phash_a, phash_b) ≤ t.
+                         Scale path: band-exact blocking self-join —
+                         by pigeonhole, two hashes within hamming t agree
+                         exactly on at least one of t+1 disjoint bands,
+                         so with bands ≥ t+1 the candidate join is
+                         COMPLETE (no recall loss), and candidates only
+                         ever meet inside an equal-band bucket (never an
+                         all-pairs product). Refine = one JVM
+                         ``bit_count(xor)`` per candidate.
+
+100 TB story: the band join shuffles (band_idx, band_val) keys only; the
+binary column never moves. Degenerate band values (e.g. the all-zeros
+band of flat images) make hot buckets — that is data skew on the join
+key, handled the same way as every other join here: AQE skew-join
+splitting (on by default in session.py) or an explicit pre-filter of
+over-frequent band values into a salted residual pass. The refine is a
+pure column expression, so the whole pipeline is shuffle-bounded by the
+candidate count, exactly like minhash_lsh_pairs.
+
+No reference analogue (mantlik/osm2garmin has no image dedup); brief-
+mandated training-data-pipeline operator (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def phash64(img: "np.ndarray") -> int:
+    """uint8 2-D array → 64-bit mean-threshold fingerprint (signed int64).
+
+    Nearest-neighbor 8×8 downsample (floor-index sampling — for a 16×16
+    input this is exactly ``img[::2, ::2]``, matching the corpus
+    generator pipeline/synth.py:52-57), threshold at the float mean, bit
+    k = r*8+c, LSB-first.
+    """
+    h, w = img.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(8) * w) // 8
+    small = img[np.ix_(rows, cols)].reshape(64)
+    bits = (small >= small.mean()).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int((bits * weights).sum(dtype=np.uint64).view(np.int64))
+
+
+def phash_from_bytes(images: DataFrame, out_col: str = "phash_computed",
+                     keep_cols: List[str] | None = None) -> DataFrame:
+    """Recompute the pHash fingerprint from stored image bytes.
+
+    Needs columns image_id, bytes, w, h, fmt; returns (image_id,
+    *keep_cols, out_col). Decode + fingerprint run Arrow-batched on
+    executors; the binary column never reaches the driver.
+    """
+    from ..operators.raster import decode_image
+
+    keep = keep_cols or []
+    schema = ("image_id string, "
+              + "".join(f"{c} long, " for c in keep)
+              + f"{out_col} long")
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            out = np.zeros(n, np.int64)
+            for i in range(n):
+                img = decode_image(pdf["bytes"].iat[i],
+                                   int(pdf["w"].iat[i]),
+                                   int(pdf["h"].iat[i]),
+                                   pdf["fmt"].iat[i])
+                out[i] = phash64(img)
+            res = {"image_id": pdf["image_id"].to_numpy()}
+            for c in keep:
+                res[c] = pdf[c].to_numpy()
+            res[out_col] = out
+            yield pd.DataFrame(res)
+
+    cols = images.select("image_id", "bytes", "w", "h", "fmt", *keep)
+    return cols.mapInPandas(kernel, schema=schema)
+
+
+def phash_bands(phash: Column, bands: int) -> List[Column]:
+    """64-bit hash → ``bands`` disjoint bit bands, LSB band first.
+
+    Unsigned shift + mask keeps every band non-negative regardless of the
+    int64 sign bit, so band values agree with any twin that models the
+    hash as an unsigned 64-bit integer (the DuckDB oracle does).
+    """
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return [F.shiftrightunsigned(phash, width * i).bitwiseAND(F.lit(mask))
+            for i in range(bands)]
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Bit-level hamming distance between two int64 hashes (JVM popcount
+    over the two's-complement xor — all 64 bits, sign bit included)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def phash_near_pairs(images: DataFrame, id_col: str = "image_id",
+                     phash_col: str = "phash", max_hamming: int = 3,
+                     bands: int | None = None) -> DataFrame:
+    """All pairs (id_a < id_b) with hamming(phash) ≤ max_hamming.
+
+    bands defaults to max_hamming + 1 — the smallest count with the
+    pigeonhole completeness guarantee (≤ t differing bits cannot touch
+    all t+1 disjoint bands, so some band matches exactly). More bands =
+    smaller buckets (fewer false candidates) at the cost of more
+    candidate-join rows per image; fewer than t+1 would lose recall and
+    is rejected.
+
+    Returns (id_a, id_b, hamming).
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} < max_hamming+1={max_hamming + 1}: the band "
+            f"join would miss pairs (pigeonhole completeness needs ≥ t+1)")
+
+    hashes = images.select(F.col(id_col).alias("id"),
+                           F.col(phash_col).alias("ph"))
+    band_cols = phash_bands(F.col("ph"), bands)
+    buckets = hashes.select(
+        "id", "ph",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val"))
+
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    cand = (l.join(r, on=[F.col("l.band_idx") == F.col("r.band_idx"),
+                          F.col("l.band_val") == F.col("r.band_val"),
+                          F.col("l.id") < F.col("r.id")])
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.col("l.ph").alias("ph_a"), F.col("r.ph").alias("ph_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+
+    return (cand.withColumn("hamming",
+                            hamming64(F.col("ph_a"), F.col("ph_b")).cast("int"))
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))

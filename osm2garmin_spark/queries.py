@@ -1396,6 +1396,32 @@ def image_decode_stats(spark, sf_dir):
     return decode_stats(images).select("image_id", "p_min", "p_max")
 
 
+def phash_near_pairs_images(spark, sf_dir):
+    """Image near-duplicate pairs via pHash banded blocking — the image-
+    payload twin of minhash_candidates. Synthesizes the deterministic
+    corpus for each doc id, RECOMPUTES the 64-bit fingerprint from the
+    stored bytes (the real decode path: raw + the from-scratch PNG codec;
+    lossless formats only, so the oracle's closed-form generator twin
+    holds bit-for-bit), then runs the pigeonhole-complete band join
+    (4×16-bit bands ⊇ hamming ≤ 3) with a JVM popcount refine."""
+    from .pipeline.synth import _gen_map
+    from .functions.phash import phash_from_bytes, phash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
+                              "w int, h int, fmt string, caption string, phash long")
+    lossless = images.filter(F.col("fmt").isin("raw", "png"))
+    ph = phash_from_bytes(lossless)
+    pairs = phash_near_pairs(ph, id_col="image_id",
+                             phash_col="phash_computed", max_hamming=3)
+    # numeric ids, canonically ordered (the band join orders by the STRING
+    # id, where "img10" < "img9")
+    na = F.regexp_replace("id_a", "^img", "").cast("long")
+    nb = F.regexp_replace("id_b", "^img", "").cast("long")
+    return pairs.select(F.least(na, nb).alias("id_a"),
+                        F.greatest(na, nb).alias("id_b"), "hamming")
+
+
 def minhash_candidates(spark, sf_dir):
     """MinHash-LSH near-dup candidates (scale path for jaccard_pairs_docs)."""
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -1763,6 +1789,41 @@ SELECT 'img' || CAST(id AS VARCHAR) AS image_id,
 FROM mm
 """
 
+# phash_near_pairs_images: the fingerprint's 8×8 downsample samples the
+# generator pattern at even coordinates — small[r][c] = (2c*(id%7+1) +
+# 2r*(id%11+3) + id) % 256, bit k=r*8+c set iff 64*v >= sum(v) (the exact
+# integer form of v >= mean). The oracle rebuilds the four 16-bit bands
+# from that closed form, reproduces the band-blocking candidate join, and
+# refines with the same per-band popcount sum the engine computes as one
+# 64-bit bit_count(xor). Lossless formats only (id%3 != 2): raw/png decode
+# bit-exactly, so recompute-from-bytes == generator closed form.
+_PHASH_PAIRS_SQL = """
+WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 <> 2),
+px AS (
+  SELECT id, k,
+         ((2 * (k % 8)) * (id % 7 + 1) + (2 * (k // 8)) * (id % 11 + 3) + id) % 256 AS v
+  FROM ids, range(64) ks(k)),
+sums AS (SELECT id, SUM(v) AS s FROM px GROUP BY id),
+bands AS (
+  SELECT px.id, CAST(k // 16 AS INTEGER) AS bi,
+         CAST(SUM(CASE WHEN 64 * v >= s
+                       THEN CAST(1 AS BIGINT) << CAST(k % 16 AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS bv
+  FROM px JOIN sums ON px.id = sums.id
+  GROUP BY px.id, k // 16),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r ON l.bi = r.bi AND l.bv = r.bv AND l.id < r.id),
+ham AS (
+  SELECT c.id_a, c.id_b, SUM(bit_count(xor(la.bv, lb.bv))) AS d
+  FROM cand c
+  JOIN bands la ON la.id = c.id_a
+  JOIN bands lb ON lb.id = c.id_b AND lb.bi = la.bi
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, CAST(d AS INTEGER) AS hamming
+FROM ham WHERE d <= 3
+"""
+
 # video_frame_stats: frame f of video i is ((x*(i%7+1) + y*(i%11+3) + i + f)
 # % 256) (operators/av.py:synth_videos); sampled frames are 0, 4, 8
 # (n_frames=12, every=4). Verifies container split + frame fan-out + the
@@ -1847,6 +1908,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_names": tile_names,
         "tiling_pipeline_counts": tiling_pipeline_counts,
         "image_decode_stats": image_decode_stats,
+        "phash_near_pairs_images": phash_near_pairs_images,
         "minhash_candidates": minhash_candidates,
         "dedup_clusters_docs": dedup_clusters_docs,
         "ann_lsh_top3": ann_lsh_top3,
@@ -1904,6 +1966,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "tile_names": _TILE_NAMES_SQL,
         "tiling_pipeline_counts": _PIPE_COUNTS_SQL,
         "image_decode_stats": _IMG_STATS_SQL,
+        "phash_near_pairs_images": _PHASH_PAIRS_SQL,
         "video_frame_stats": _VIDEO_STATS_SQL,
         "audio_window_features": _AUDIO_FEATURES_SQL,
         "minhash_candidates": _minhash_sql(),

@@ -84,6 +84,10 @@ def main():
         "scaling_efficiency": round(eff, 3),
         "target": ">= 0.8",
     }
+    for level, res in ((args.n, lo), (args.xn, hi)):
+        if "phase_plan_sec" in res:
+            result[f"phase_plan_{level}_sec"] = res["phase_plan_sec"]
+            result[f"phase_verify_{level}_sec"] = res["phase_verify_sec"]
     print(json.dumps(result, indent=2))
 
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
@@ -99,6 +103,13 @@ def main():
         f.write(f"| local[{args.xn}] (4N) | {t_hi} | {thr_hi:,.0f} |\n\n")
         f.write(f"**Scaling efficiency = {thr_hi:,.0f} / (4 × {thr_lo:,.0f}) "
                 f"= {eff:.3f}** (target ≥ 0.8)\n")
+        if "phase_plan_sec" in lo and "phase_plan_sec" in hi:
+            f.write(f"\nPhase split (plan = density scan + quadtree, the "
+                    f"job's only serial component; verify = assignment join "
+                    f"+ per-row decode): local[{args.n}] "
+                    f"{lo['phase_plan_sec']}s + {lo['phase_verify_sec']}s, "
+                    f"local[{args.xn}] {hi['phase_plan_sec']}s + "
+                    f"{hi['phase_verify_sec']}s.\n")
 
 
 if __name__ == "__main__":
