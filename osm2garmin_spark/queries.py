@@ -1422,6 +1422,27 @@ def phash_near_pairs_images(spark, sf_dir):
                         F.greatest(na, nb).alias("id_b"), "hamming")
 
 
+def phash_dedup_clusters(spark, sf_dir):
+    """Image dedup end-to-end (the image twin of dedup_clusters_docs):
+    pHash band-blocked near-pairs over the stored ingest-time fingerprint
+    → connected components by min-label propagation → canonical min-id
+    survivor. Runs on the 8-byte hash column alone — at corpus scale the
+    image bytes never enter the dedup shuffle."""
+    from .pipeline.synth import _gen_map
+    from .functions.phash import phash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
+                              "w int, h int, fmt string, caption string, phash long")
+    hashes = images.select(
+        F.regexp_replace("image_id", "^img", "").cast("long").alias("image_id"),
+        "phash")
+    pairs = phash_near_pairs(hashes, max_hamming=3)
+    out = D.dedup_clusters(hashes.select("image_id"), pairs,
+                           id_col="image_id", a_col="id_a", b_col="id_b")
+    return out.select("image_id", "cluster_id")
+
+
 def minhash_candidates(spark, sf_dir):
     """MinHash-LSH near-dup candidates (scale path for jaccard_pairs_docs)."""
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -1795,10 +1816,12 @@ FROM mm
 # integer form of v >= mean). The oracle rebuilds the four 16-bit bands
 # from that closed form, reproduces the band-blocking candidate join, and
 # refines with the same per-band popcount sum the engine computes as one
-# 64-bit bit_count(xor). Lossless formats only (id%3 != 2): raw/png decode
-# bit-exactly, so recompute-from-bytes == generator closed form.
-_PHASH_PAIRS_SQL = """
-WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 <> 2),
+# 64-bit bit_count(xor). The pairs query restricts to lossless formats
+# (id%3 != 2) because it recomputes fingerprints from bytes (raw/png
+# decode bit-exactly, so recompute == generator closed form); the
+# clusters query uses the stored ingest-time phash, valid for every id.
+def _phash_pair_ctes(where: str = "") -> str:
+    return f"""ids AS (SELECT doc_id AS id FROM documents {where}),
 px AS (
   SELECT id, k,
          ((2 * (k % 8)) * (id % 7 + 1) + (2 * (k // 8)) * (id % 11 + 3) + id) % 256 AS v
@@ -1819,9 +1842,32 @@ ham AS (
   FROM cand c
   JOIN bands la ON la.id = c.id_a
   JOIN bands lb ON lb.id = c.id_b AND lb.bi = la.bi
-  GROUP BY c.id_a, c.id_b)
+  GROUP BY c.id_a, c.id_b)"""
+
+
+_PHASH_PAIRS_SQL = f"""
+WITH {_phash_pair_ctes("WHERE doc_id % 3 <> 2")}
 SELECT id_a, id_b, CAST(d AS INTEGER) AS hamming
 FROM ham WHERE d <= 3
+"""
+
+# phash_dedup_clusters: same pair structure over ALL ids (stored phash),
+# then the reachability-closure connected components of the text twin
+# (_dedup_clusters_sql) with min-id canonical survivor.
+_PHASH_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_phash_pair_ctes()},
+near AS (SELECT id_a, id_b FROM ham WHERE d <= 3),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM near
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM near
+),
+reach(src, dst) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src AS image_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 # video_frame_stats: frame f of video i is ((x*(i%7+1) + y*(i%11+3) + i + f)
@@ -1909,6 +1955,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiling_pipeline_counts": tiling_pipeline_counts,
         "image_decode_stats": image_decode_stats,
         "phash_near_pairs_images": phash_near_pairs_images,
+        "phash_dedup_clusters": phash_dedup_clusters,
         "minhash_candidates": minhash_candidates,
         "dedup_clusters_docs": dedup_clusters_docs,
         "ann_lsh_top3": ann_lsh_top3,
@@ -1967,6 +2014,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "tiling_pipeline_counts": _PIPE_COUNTS_SQL,
         "image_decode_stats": _IMG_STATS_SQL,
         "phash_near_pairs_images": _PHASH_PAIRS_SQL,
+        "phash_dedup_clusters": _PHASH_CLUSTERS_SQL,
         "video_frame_stats": _VIDEO_STATS_SQL,
         "audio_window_features": _AUDIO_FEATURES_SQL,
         "minhash_candidates": _minhash_sql(),
