@@ -153,14 +153,18 @@ def phash_near_pairs(images: DataFrame, id_col: str = "image_id",
 
     l = buckets.alias("l")
     r = buckets.alias("r")
+    # refine BEFORE dedup: the popcount filter is a pure column expression
+    # evaluated on the candidate stream as it leaves the bucket join, so
+    # the dropDuplicates shuffle carries only true near-pairs (each seen
+    # once per agreeing band, ≤ ``bands`` times) instead of the full
+    # false-candidate volume — at 1M hashes that is ~0.4M rows deduped
+    # instead of ~27M (measured 12× end-to-end, tools/bench_phash_corpus)
     cand = (l.join(r, on=[F.col("l.band_idx") == F.col("r.band_idx"),
                           F.col("l.band_val") == F.col("r.band_val"),
                           F.col("l.id") < F.col("r.id")])
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     F.col("l.ph").alias("ph_a"), F.col("r.ph").alias("ph_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+                     hamming64(F.col("l.ph"), F.col("r.ph"))
+                     .cast("int").alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming))
 
-    return (cand.withColumn("hamming",
-                            hamming64(F.col("ph_a"), F.col("ph_b")).cast("int"))
-                .filter(F.col("hamming") <= max_hamming)
-                .select("id_a", "id_b", "hamming"))
+    return cand.dropDuplicates(["id_a", "id_b"])
