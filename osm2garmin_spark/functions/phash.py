@@ -36,6 +36,14 @@ over-frequent band values into a salted residual pass. The refine is a
 pure column expression, so the whole pipeline is shuffle-bounded by the
 candidate count, exactly like minhash_lsh_pairs.
 
+The band join's bucket discrimination is capped at 2^(hash_bits/(t+1))
+values; for the 64-bit hash at t=3 that is 2^16, and false-candidate
+volume grows as N²/2^16 past ~10M rows per hash domain
+(tools/bench_phash_corpus.py measures the knee). The scale path is a
+WIDER fingerprint, not more bands of the same hash: ``phash128*`` below
+carries 128 bits in an (hi, lo) int64 pair and blocks on four 32-bit
+bands — 2^32 bucket values — restoring ~linear candidate volume.
+
 No reference analogue (mantlik/osm2garmin has no image dedup); brief-
 mandated training-data-pipeline operator (SURVEY.md §2.12).
 """
@@ -100,6 +108,111 @@ def phash_from_bytes(images: DataFrame, out_col: str = "phash_computed",
 
     cols = images.select("image_id", "bytes", "w", "h", "fmt", *keep)
     return cols.mapInPandas(kernel, schema=schema)
+
+
+def phash128(img: "np.ndarray") -> tuple:
+    """uint8 2-D array → 128-bit fingerprint as (hi, lo) signed int64s.
+
+    The wider-fingerprint scale path documented on phash_near_pairs: a
+    16×8 nearest-neighbor downsample (128 samples) thresholded at the
+    joint mean. bit k = r*8+c for row r in 0..15; lo carries bits 0..63
+    (rows 0-7), hi bits 64..127 (rows 8-15). With 128 bits the t=3
+    complete blocking uses four 32-bit bands — 2^32 bucket values
+    instead of 2^16, which is what restores ~linear candidate volume
+    past the 64-bit path's ~10M-row ceiling.
+    """
+    h, w = img.shape
+    rows = (np.arange(16) * h) // 16
+    cols = (np.arange(8) * w) // 8
+    small = img[np.ix_(rows, cols)].reshape(128)
+    bits = (small >= small.mean()).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    lo = int((bits[:64] * weights).sum(dtype=np.uint64).view(np.int64))
+    hi = int((bits[64:] * weights).sum(dtype=np.uint64).view(np.int64))
+    return hi, lo
+
+
+def phash128_from_bytes(images: DataFrame) -> DataFrame:
+    """Recompute the 128-bit fingerprint from stored image bytes:
+    (image_id, phash_hi, phash_lo). Same executor-side contract as
+    phash_from_bytes."""
+    from ..operators.raster import decode_image
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            hi = np.zeros(n, np.int64)
+            lo = np.zeros(n, np.int64)
+            for i in range(n):
+                img = decode_image(pdf["bytes"].iat[i],
+                                   int(pdf["w"].iat[i]),
+                                   int(pdf["h"].iat[i]),
+                                   pdf["fmt"].iat[i])
+                hi[i], lo[i] = phash128(img)
+            yield pd.DataFrame({"image_id": pdf["image_id"].to_numpy(),
+                                "phash_hi": hi, "phash_lo": lo})
+
+    cols = images.select("image_id", "bytes", "w", "h", "fmt")
+    return cols.mapInPandas(
+        kernel, schema="image_id string, phash_hi long, phash_lo long")
+
+
+def phash128_bands(hi: Column, lo: Column, bands: int) -> List[Column]:
+    """128-bit hash → ``bands`` disjoint bit bands, LSB band first (lo
+    bands before hi bands). Band width must be ≤ 32 bits so every band
+    value is an exact non-negative int (width 64 would need the int64
+    sign bit; any t ≥ 3 needs ≥ 4 bands anyway)."""
+    if 128 % bands != 0:
+        raise ValueError(f"bands must divide 128, got {bands}")
+    width = 128 // bands
+    if width > 32 or 64 % width != 0:
+        raise ValueError(f"band width {width} unsupported (need ≤32, "
+                         f"dividing 64)")
+    mask = (1 << width) - 1
+    per_half = 64 // width
+    out = []
+    for i in range(bands):
+        src = lo if i < per_half else hi
+        shift = width * (i % per_half)
+        out.append(F.shiftrightunsigned(src, shift).bitwiseAND(F.lit(mask)))
+    return out
+
+
+def phash128_near_pairs(images: DataFrame, id_col: str = "image_id",
+                        hi_col: str = "phash_hi", lo_col: str = "phash_lo",
+                        max_hamming: int = 3,
+                        bands: int | None = None) -> DataFrame:
+    """128-bit twin of phash_near_pairs: same pigeonhole-complete band
+    blocking and refine-before-dedup plan, with four 32-bit bands at the
+    default t=3 (2^32 bucket discrimination). Returns (id_a, id_b,
+    hamming)."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} < max_hamming+1={max_hamming + 1}: the band "
+            f"join would miss pairs (pigeonhole completeness needs ≥ t+1)")
+
+    hashes = images.select(F.col(id_col).alias("id"),
+                           F.col(hi_col).alias("hi"),
+                           F.col(lo_col).alias("lo"))
+    band_cols = phash128_bands(F.col("hi"), F.col("lo"), bands)
+    buckets = hashes.select(
+        "id", "hi", "lo",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val"))
+
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    cand = (l.join(r, on=[F.col("l.band_idx") == F.col("r.band_idx"),
+                          F.col("l.band_val") == F.col("r.band_val"),
+                          F.col("l.id") < F.col("r.id")])
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     (hamming64(F.col("l.hi"), F.col("r.hi"))
+                      + hamming64(F.col("l.lo"), F.col("r.lo")))
+                     .cast("int").alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming))
+
+    return cand.dropDuplicates(["id_a", "id_b"])
 
 
 def phash_bands(phash: Column, bands: int) -> List[Column]:

@@ -1422,6 +1422,27 @@ def phash_near_pairs_images(spark, sf_dir):
                         F.greatest(na, nb).alias("id_b"), "hamming")
 
 
+def phash128_near_pairs_images(spark, sf_dir):
+    """128-bit fingerprint near-pairs (the wider-fingerprint scale path:
+    four 32-bit bands give 2^32 bucket discrimination vs the 64-bit
+    path's 2^16). Same contract as phash_near_pairs_images: fingerprints
+    recomputed from bytes through the real decode path, lossless formats
+    only so the generator closed form holds."""
+    from .pipeline.synth import _gen_map
+    from .functions.phash import phash128_from_bytes, phash128_near_pairs
+
+    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
+                              "w int, h int, fmt string, caption string, phash long")
+    lossless = images.filter(F.col("fmt").isin("raw", "png"))
+    ph = phash128_from_bytes(lossless)
+    pairs = phash128_near_pairs(ph, max_hamming=3)
+    na = F.regexp_replace("id_a", "^img", "").cast("long")
+    nb = F.regexp_replace("id_b", "^img", "").cast("long")
+    return pairs.select(F.least(na, nb).alias("id_a"),
+                        F.greatest(na, nb).alias("id_b"), "hamming")
+
+
 def phash_dedup_clusters(spark, sf_dir):
     """Image dedup end-to-end (the image twin of dedup_clusters_docs):
     pHash band-blocked near-pairs over the stored ingest-time fingerprint
@@ -1851,6 +1872,38 @@ SELECT id_a, id_b, CAST(d AS INTEGER) AS hamming
 FROM ham WHERE d <= 3
 """
 
+# phash128_near_pairs_images: the 128-bit fingerprint samples a 16×8
+# grid — row r IS image row r at h=16, col c is image col 2c — so
+# v(r,c) = (2c*(id%7+1) + r*(id%11+3) + id) % 256 with k = r*8+c in
+# 0..127, bit set iff 128*v >= sum(v), four 32-bit bands with in-band
+# weight 1 << (k%32).
+_PHASH128_PAIRS_SQL = """
+WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 <> 2),
+px AS (
+  SELECT id, k,
+         ((2 * (k % 8)) * (id % 7 + 1) + (k // 8) * (id % 11 + 3) + id) % 256 AS v
+  FROM ids, range(128) ks(k)),
+sums AS (SELECT id, SUM(v) AS s FROM px GROUP BY id),
+bands AS (
+  SELECT px.id, CAST(k // 32 AS INTEGER) AS bi,
+         CAST(SUM(CASE WHEN 128 * v >= s
+                       THEN CAST(1 AS BIGINT) << CAST(k % 32 AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS bv
+  FROM px JOIN sums ON px.id = sums.id
+  GROUP BY px.id, k // 32),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r ON l.bi = r.bi AND l.bv = r.bv AND l.id < r.id),
+ham AS (
+  SELECT c.id_a, c.id_b, SUM(bit_count(xor(la.bv, lb.bv))) AS d
+  FROM cand c
+  JOIN bands la ON la.id = c.id_a
+  JOIN bands lb ON lb.id = c.id_b AND lb.bi = la.bi
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, CAST(d AS INTEGER) AS hamming
+FROM ham WHERE d <= 3
+"""
+
 # phash_dedup_clusters: same pair structure over ALL ids (stored phash),
 # then the reachability-closure connected components of the text twin
 # (_dedup_clusters_sql) with min-id canonical survivor.
@@ -1955,6 +2008,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiling_pipeline_counts": tiling_pipeline_counts,
         "image_decode_stats": image_decode_stats,
         "phash_near_pairs_images": phash_near_pairs_images,
+        "phash128_near_pairs_images": phash128_near_pairs_images,
         "phash_dedup_clusters": phash_dedup_clusters,
         "minhash_candidates": minhash_candidates,
         "dedup_clusters_docs": dedup_clusters_docs,
@@ -2014,6 +2068,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "tiling_pipeline_counts": _PIPE_COUNTS_SQL,
         "image_decode_stats": _IMG_STATS_SQL,
         "phash_near_pairs_images": _PHASH_PAIRS_SQL,
+        "phash128_near_pairs_images": _PHASH128_PAIRS_SQL,
         "phash_dedup_clusters": _PHASH_CLUSTERS_SQL,
         "video_frame_stats": _VIDEO_STATS_SQL,
         "audio_window_features": _AUDIO_FEATURES_SQL,

@@ -85,3 +85,57 @@ def test_negative_phash_sign_bit_handled(spark):
     # x↔y differ only in bit 62; x↔z differ in 6 bits (sign + 5 low),
     # y↔z in 7 — both beyond t=3, so exactly one pair survives
     assert got == {("x", "y", 1)}
+
+
+def _brute_pairs128(ids, hashes, t):
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            x = (hashes[i][0] ^ hashes[j][0]) & ((1 << 64) - 1)
+            y = (hashes[i][1] ^ hashes[j][1]) & ((1 << 64) - 1)
+            d = bin(x).count("1") + bin(y).count("1")
+            if d <= t:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b, d))
+    return out
+
+
+def test_phash128_near_pairs_match_brute_force(spark):
+    from osm2garmin_spark.functions.phash import (
+        phash128_from_bytes, phash128_near_pairs)
+    imgs = synth_images(spark, 300, partitions=4).filter("fmt != 'q6'")
+    ph = phash128_from_bytes(imgs)
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in phash128_near_pairs(ph, max_hamming=3).collect()}
+    rows = ph.collect()
+    want = _brute_pairs128([r["image_id"] for r in rows],
+                           [(r["phash_hi"], r["phash_lo"]) for r in rows], 3)
+    assert got == want
+    assert len(want) > 0
+
+
+def test_phash128_from_bytes_matches_kernel(spark):
+    from osm2garmin_spark.functions.phash import phash128, phash128_from_bytes
+    from osm2garmin_spark.operators.raster import decode_image
+    imgs = synth_images(spark, 60, partitions=2).filter("fmt != 'q6'")
+    rows = imgs.select("image_id", "bytes", "w", "h", "fmt").collect()
+    want = {r["image_id"]:
+            phash128(decode_image(bytes(r["bytes"]), r["w"], r["h"], r["fmt"]))
+            for r in rows}
+    got = {r["image_id"]: (r["phash_hi"], r["phash_lo"])
+           for r in phash128_from_bytes(imgs).collect()}
+    assert got == want
+
+
+def test_phash128_band_validation(spark):
+    from osm2garmin_spark.functions.phash import (
+        phash128_bands, phash128_near_pairs)
+    from pyspark.sql import functions as F
+    with pytest.raises(ValueError):
+        phash128_bands(F.lit(0), F.lit(0), 3)    # 3 does not divide 128
+    with pytest.raises(ValueError):
+        phash128_bands(F.lit(0), F.lit(0), 2)    # 64-bit bands unsupported
+    df = spark.createDataFrame(
+        [("x", 0, 0)], "image_id string, phash_hi long, phash_lo long")
+    with pytest.raises(ValueError):
+        phash128_near_pairs(df, max_hamming=6, bands=4)  # recall loss

@@ -56,21 +56,52 @@ def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"image_id": ids, "phash": h.view(np.int64)})
 
 
+def _gen128(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        u = ids.astype(np.uint64)
+        is_dup = (ids % 10) == 9
+        base = np.where(is_dup, u - np.uint64(1), u)
+        lo = _splitmix64(base)
+        hi = _splitmix64(base + np.uint64(0x5851F42D4C957F2D))
+        # <=2 flips at positions 0..127 spread across both halves
+        p1 = (u * np.uint64(7)) % np.uint64(128)
+        p2 = (u * np.uint64(13)) % np.uint64(128)
+        for p in (p1, p2):
+            in_lo = p < 64
+            bit = np.uint64(1) << (p % np.uint64(64))
+            lo = np.where(is_dup & in_lo, lo ^ bit, lo)
+            hi = np.where(is_dup & ~in_lo, hi ^ bit, hi)
+        yield pd.DataFrame({"image_id": ids,
+                            "phash_hi": hi.view(np.int64),
+                            "phash_lo": lo.view(np.int64)})
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else \
         int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bits = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     spark = get_spark("bench-phash-corpus", master=f"local[{cores}]",
                       shuffle_partitions=cores)
     from pyspark.sql import functions as F
 
-    hashes = (spark.range(0, n, 1, cores * 2)
-              .mapInPandas(_gen, schema="image_id long, phash long")
-              .persist())
-    hashes.count()
-
-    t0 = time.perf_counter()
-    pairs = phash_near_pairs(hashes, max_hamming=3).persist()
+    if bits == 128:
+        from osm2garmin_spark.functions.phash import phash128_near_pairs
+        hashes = (spark.range(0, n, 1, cores * 2)
+                  .mapInPandas(_gen128, schema="image_id long, "
+                               "phash_hi long, phash_lo long")
+                  .persist())
+        hashes.count()
+        t0 = time.perf_counter()
+        pairs = phash128_near_pairs(hashes, max_hamming=3).persist()
+    else:
+        hashes = (spark.range(0, n, 1, cores * 2)
+                  .mapInPandas(_gen, schema="image_id long, phash long")
+                  .persist())
+        hashes.count()
+        t0 = time.perf_counter()
+        pairs = phash_near_pairs(hashes, max_hamming=3).persist()
     n_pairs = pairs.count()
     wall = time.perf_counter() - t0
 
@@ -81,7 +112,7 @@ def main():
     n_planted = n // 10
 
     print(json.dumps({
-        "n_hashes": n, "cores": cores,
+        "n_hashes": n, "cores": cores, "bits": bits,
         "pairs_sec_wall": round(wall, 3),
         "hashes_per_sec": round(n / wall, 1),
         "final_pairs": n_pairs,
