@@ -1032,6 +1032,79 @@ SELECT event_id FROM pts WHERE {_hex_halfplanes_sql()}
 """
 
 
+def _region_polys():
+    """Deterministic multi-polygon region table for the range-partitioned
+    PIP join: hexagons + CONCAVE hourglass stars (the even-odd rule's hard
+    case), scattered across the globe, two deliberately overlapping so
+    points can land in >1 polygon. Integer-degree vertices (exactly
+    representable doubles — the SQL oracle re-evaluates the same IEEE
+    expressions on literal vertices)."""
+    hexagon = [(0, -20), (-10, -10), (-10, 10), (0, 20), (10, 10), (10, -10)]
+    star = [(-10, -10), (0, -2), (10, -10), (2, 0), (10, 10), (0, 2),
+            (-10, 10), (-2, 0)]
+    centers_hex = [(0, -40), (0, 40), (30, -100), (30, 100), (-30, -100),
+                   (-30, 100)]
+    centers_star = [(15, 0), (-15, 0), (45, 60), (-45, -60), (5, -35)]
+    polys = []
+    for i, (clat, clon) in enumerate(centers_hex):
+        polys.append((i, [(float(clat + dy), float(clon + dx))
+                          for dy, dx in hexagon]))
+    for j, (clat, clon) in enumerate(centers_star):
+        polys.append((6 + j, [(float(clat + dy), float(clon + dx))
+                              for dy, dx in star]))
+    return polys
+
+
+_REGION_POLYS = _region_polys()
+
+
+def pip_partitioned(spark, sf_dir):
+    """range-partitioned point-in-polygon join: polygon table too large to
+    broadcast → both sides shuffle onto a fixed-degree grid and equi-join
+    cell-to-cell, then Arrow ray-cast refine (north-star's second PIP
+    strategy; exact twin of pip_join's maths)."""
+    from .operators.pip import pip_join_partitioned
+    pts = _event_points(spark, sf_dir)
+    polys = spark.createDataFrame(
+        [(pid, [v[0] for v in pv], [v[1] for v in pv])
+         for pid, pv in _REGION_POLYS],
+        "poly_id int, vlats array<double>, vlons array<double>")
+    return (pip_join_partitioned(pts, polys, cell_deg=10.0)
+            .select("event_id", "poly_id"))
+
+
+def _region_edges_sql() -> str:
+    """Closed edge list of every region polygon as SQL VALUES rows."""
+    rows = []
+    for pid, pv in _REGION_POLYS:
+        n = len(pv)
+        for i in range(n):
+            y1, x1 = pv[i]
+            y2, x2 = pv[(i + 1) % n]
+            rows.append(f"({pid}, {y1!r}, {x1!r}, {y2!r}, {x2!r})")
+    return ", ".join(rows)
+
+
+# independent even-odd rederivation: a point is inside iff an ODD number of
+# polygon edges satisfies the same crossing predicate the numpy kernel
+# XOR-accumulates (operators/pip.py:ray_cast) — identical IEEE expression
+# tree, so values (not just counts) must match
+_PIP_PARTITIONED_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+edges(poly_id, y1, x1, y2, x2) AS (VALUES {{edges}}),
+crossings AS (
+  SELECT p.event_id, e.poly_id
+  FROM pts p, edges e
+  WHERE e.x1 <> e.x2
+    AND ((e.x1 > p.lon) <> (e.x2 > p.lon))
+    AND p.lat < e.y1 + ((p.lon - e.x1) / (e.x2 - e.x1)) * (e.y2 - e.y1)
+)
+SELECT event_id, CAST(poly_id AS INT) AS poly_id FROM crossings
+GROUP BY event_id, poly_id
+HAVING count(*) % 2 = 1
+""".replace("{edges}", _region_edges_sql())
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / similarity
 # ---------------------------------------------------------------------------
@@ -1991,6 +2064,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cover_filter": hex_cover_filter,
         "tile_boundary_raster": tile_boundary_raster,
         "pip_hexagon": pip_hexagon,
+        "pip_partitioned": pip_partitioned,
         "doc_text_features": doc_text_features,
         "doc_fingerprints": doc_fingerprints,
         "doc_simhash": doc_simhash,
@@ -2051,6 +2125,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "hex_cover_filter": _HEX_COVER_SQL,
         "tile_boundary_raster": _tile_raster_sql(),
         "pip_hexagon": _PIP_SQL,
+        "pip_partitioned": _PIP_PARTITIONED_SQL,
         "doc_text_features": _TEXT_FEATURES_SQL,
         "doc_fingerprints": _FP_SQL,
         "doc_simhash": _SIMHASH_SQL,

@@ -172,6 +172,57 @@ def test_pip_join_multi_polygon(spark):
     assert out == [(1, 10), (2, 10), (2, 20)]
 
 
+def _region_points(spark, n=5000):
+    from osm2garmin_spark.expressions import derived_lat, derived_lon
+    return spark.range(0, n).select(
+        F.col("id").alias("pid"),
+        derived_lat(F.col("id")).alias("lat"),
+        derived_lon(F.col("id")).alias("lon"))
+
+
+def _region_polys_df(spark):
+    from osm2garmin_spark.queries import _REGION_POLYS
+    return spark.createDataFrame(
+        [(pid, [v[0] for v in pv], [v[1] for v in pv])
+         for pid, pv in _REGION_POLYS],
+        "poly_id int, vlats array<double>, vlons array<double>")
+
+
+def test_pip_partitioned_matches_broadcast(spark):
+    """Range-partitioned PIP is bit-identical to the broadcast twin on the
+    region set (convex hexagons + concave stars + an overlapping pair),
+    and independent of the grid cell size."""
+    from osm2garmin_spark.operators.pip import pip_join_partitioned
+    from osm2garmin_spark.queries import _REGION_POLYS
+
+    pts = _region_points(spark)
+    want = sorted((r["pid"], r["poly_id"])
+                  for r in pip_join(pts, _REGION_POLYS).collect())
+    assert want, "region set must catch some points for the test to bite"
+    polys = _region_polys_df(spark)
+    for cell_deg in (10.0, 3.0):
+        got = sorted(
+            (r["pid"], r["poly_id"])
+            for r in pip_join_partitioned(pts, polys,
+                                          cell_deg=cell_deg).collect())
+        assert got == want
+    # at least one point sits in two overlapping polygons
+    from collections import Counter
+    assert Counter(p for p, _ in want).most_common(1)[0][1] >= 2
+
+
+def test_pip_partitioned_covering_guard(spark):
+    """A polygon whose bbox explodes past max_cells_per_poly fails loudly
+    instead of quietly fanning out the shuffle."""
+    from osm2garmin_spark.operators.pip import pip_join_partitioned
+
+    pts = _region_points(spark, 10)
+    polys = _region_polys_df(spark)
+    with pytest.raises(Exception, match="covers > 4 cells"):
+        pip_join_partitioned(pts, polys, cell_deg=1.0,
+                             max_cells_per_poly=4).collect()
+
+
 def test_template_args(tmp_path):
     from osm2garmin_spark.sources.io import write_template_args
     p = str(tmp_path / "template.args")

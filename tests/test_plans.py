@@ -354,3 +354,26 @@ def test_knn_hex_explodes_query_side(spark, monkeypatch):
     assert all("q_lat" in s and "n_lat" not in s for s in subtrees), plan
     rows = out.collect()
     assert {r["q_id"] for r in rows} == set(range(50))
+
+
+def test_pip_partitioned_shuffle_join_not_broadcast(spark):
+    """Range-partitioned PIP: the premise is a polygon table too large to
+    broadcast, so the cell equi-join must be a shuffled hash join — no
+    Broadcast exchange anywhere, and no nested-loop fallback."""
+    from osm2garmin_spark.expressions import derived_lat, derived_lon
+    from osm2garmin_spark.operators.pip import pip_join_partitioned
+    from osm2garmin_spark.queries import _REGION_POLYS
+
+    pts = spark.range(0, 1000).select(
+        F.col("id").alias("pid"),
+        derived_lat(F.col("id")).alias("lat"),
+        derived_lon(F.col("id")).alias("lon"))
+    polys = spark.createDataFrame(
+        [(pid, [v[0] for v in pv], [v[1] for v in pv])
+         for pid, pv in _REGION_POLYS],
+        "poly_id int, vlats array<double>, vlons array<double>")
+    plan = _plan(pip_join_partitioned(pts, polys, cell_deg=10.0))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
