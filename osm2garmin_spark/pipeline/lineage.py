@@ -451,12 +451,15 @@ def tile_digests(assigned: DataFrame, id_col: str) -> DataFrame:
     partial agg for free and become the manifest's column stats
     (Iceberg lower_bounds/upper_bounds), which read_committed_assigned
     uses to prune committed files against an id predicate without
-    opening them."""
+    opening them. Non-numeric id columns (e.g. the corpus's 'img123'
+    strings) try_cast to null — such tiles commit NULL stats and stay
+    unprunable, the documented contract, instead of failing the ANSI
+    cast mid-commit."""
     return assigned.groupBy("tile_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(F.xxhash64(F.col(id_col))).alias("digest"),
-        F.min(F.col(id_col)).cast("long").alias("min_id"),
-        F.max(F.col(id_col)).cast("long").alias("max_id"))
+        F.min(F.col(id_col)).try_cast("long").alias("min_id"),
+        F.max(F.col(id_col)).try_cast("long").alias("max_id"))
 
 
 def committed_pairs(spark: SparkSession, out_dir: str,
@@ -490,10 +493,14 @@ def committed_pairs(spark: SparkSession, out_dir: str,
                .filter(F.col("_rn") == 1))
     if id_between is not None:
         lo, hi = id_between
-        winners = winners.filter(
-            F.col("min_id").isNull() | F.col("max_id").isNull()
-            | ((F.col("max_id") >= F.lit(lo))
-               & (F.col("min_id") <= F.lit(hi))))
+        # manifest stats are numeric (long); non-numeric id bounds (string
+        # ids commit NULL stats) can't prune — the exact residual filter in
+        # read_committed_assigned still applies
+        if isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+            winners = winners.filter(
+                F.col("min_id").isNull() | F.col("max_id").isNull()
+                | ((F.col("max_id") >= F.lit(lo))
+                   & (F.col("min_id") <= F.lit(hi))))
     return winners.select("tile_id", "attempt")
 
 

@@ -656,3 +656,23 @@ def test_auto_compaction_hook_catalog(spark, points, tmp_path):
         assert all(x["count"] == 1 for x in per_tile)
     finally:
         srv.stop()
+
+
+def test_string_id_column_commits_null_stats(spark, tmp_path):
+    """A non-numeric id column (the corpus's 'img123' strings) must commit
+    NULL min/max stats — unprunable but correct — not fail the ANSI cast
+    mid-commit (the spark-submit packaging job hit exactly this)."""
+    d = str(tmp_path / "strid")
+    pts = spark.range(0, 2000).select(
+        F.concat(F.lit("img"), F.col("id").cast("string")).alias("event_id"),
+        derived_lat(F.col("id")).alias("lat"),
+        derived_lon(F.col("id")).alias("lon"))
+    r = run_tiling_resumable(pts, d, max_nodes=500, run_id="s")
+    assert r["processed"] == r["tiles"] >= 1
+    lin = LineageStore(d).read(spark).filter(F.col("stage") == "assign")
+    assert lin.filter(F.col("min_id").isNotNull()
+                      | F.col("max_id").isNotNull()).count() == 0
+    # id_between pruning must degrade to the exact residual filter
+    got = read_committed_assigned(spark, d, id_between=("img100", "img199"))
+    ids = {row["event_id"] for row in got.select("event_id").collect()}
+    assert ids and all("img100" <= i <= "img199" for i in ids)

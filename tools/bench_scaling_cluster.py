@@ -1,0 +1,135 @@
+"""N-vs-4N EXECUTOR scaling evidence via spark-submit + local-cluster.
+
+bench_scaling.py evidences the north_rule's two-cluster-size criterion
+with local[N] vs local[4N] thread counts inside one JVM. This tool is the
+stronger form: the same tiling job, submitted with the north_rule's own
+packaging (``spark-submit --py-files osm2garmin_spark.zip``), against
+``local-cluster[E, C, M]`` — Spark's test-cluster master that launches E
+SEPARATE executor JVMs of C cores each, with real serialization, real
+shuffle over the block manager, and per-executor Python workers. Two
+cluster sizes (E and 4E executors, same C) over the identical
+deterministic corpus; efficiency = throughput(4E) / (4 * throughput(E)).
+
+Runs are interleaved best-of-R per level (same discipline as
+bench_scaling.py — this sandbox shares CPUs with noisy co-tenants).
+Each run gets a FRESH --out directory so nothing resumes.
+
+Usage: python tools/bench_scaling_cluster.py [--rows 2000000]
+           [--n 2] [--xn 8] [--cores 4] [--mem-mb 6144] [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import uuid
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def _zip_package() -> str:
+    import zipfile
+    path = os.path.join(tempfile.gettempdir(), "osm2garmin_spark.zip")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "osm2garmin_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return path
+
+def _one(zip_path: str, execs: int, cores: int, mem_mb: int,
+         rows: int, scratch: str) -> dict | None:
+    out_dir = os.path.join(scratch, f"tiling-{execs}x{cores}-{uuid.uuid4().hex[:8]}")
+    total_cores = execs * cores
+    cmd = [
+        SUBMIT,
+        "--master", f"local-cluster[{execs},{cores},{mem_mb}]",
+        "--py-files", zip_path,
+        "--conf", f"spark.sql.shuffle.partitions={total_cores}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+        "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.driver.memory=8g",
+        "--conf", "spark.ui.enabled=false",
+        os.path.join(REPO, "tools", "submit_tiling_job.py"),
+        "--rows", str(rows), "--out", out_dir,
+        "--max-nodes", str(max(rows // 8, 100_000)), "--bench",
+    ]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             cwd=REPO, timeout=3600)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(f"[bench_scaling_cluster] execs={execs} produced no "
+                         f"JSON; stderr tail:\n{out.stderr[-2000:]}\n")
+        return None
+    return json.loads(lines[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--n", type=int, default=2, help="executors at the N level")
+    ap.add_argument("--xn", type=int, default=8, help="executors at the 4N level")
+    ap.add_argument("--cores", type=int, default=4, help="cores per executor")
+    ap.add_argument("--mem-mb", type=int, default=6144)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    zip_path = _zip_package()
+    scratch = tempfile.mkdtemp(prefix="bench_cluster_")
+    best: dict[int, dict] = {}
+    try:
+        for _ in range(args.repeats):
+            for execs in (args.xn, args.n):
+                res = _one(zip_path, execs, args.cores, args.mem_mb,
+                           args.rows, scratch)
+                if res is None:
+                    continue
+                if (execs not in best
+                        or res["wall_sec"] < best[execs]["wall_sec"]):
+                    best[execs] = res
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    if args.n not in best or args.xn not in best:
+        raise RuntimeError("no successful run at one level; see stderr")
+
+    lo, hi = best[args.n], best[args.xn]
+    thr_lo = lo["assignments"] / lo["wall_sec"]
+    thr_hi = hi["assignments"] / hi["wall_sec"]
+    ratio = args.xn / args.n
+    eff = thr_hi / (ratio * thr_lo)
+    print(json.dumps({
+        "date": datetime.date.today().isoformat(),
+        "corpus_rows": args.rows,
+        "assignments": lo["assignments"],
+        "tiles": lo["tiles"],
+        "cores_per_executor": args.cores,
+        f"executors[{args.n}]": {
+            "master": lo["master"], "wall_sec": lo["wall_sec"],
+            "assignments_per_sec": round(thr_lo, 1)},
+        f"executors[{args.xn}]": {
+            "master": hi["master"], "wall_sec": hi["wall_sec"],
+            "assignments_per_sec": round(thr_hi, 1)},
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+import time
+
+# under spark-submit the package arrives via --py-files; for direct
+# `python tools/submit_tiling_job.py` runs, fall back to the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -25,6 +32,9 @@ def main():
     ap.add_argument("--max-nodes", type=int, default=100_000)
     ap.add_argument("--resolution", type=int, default=13)
     ap.add_argument("--run-id", default="submit")
+    ap.add_argument("--bench", action="store_true",
+                    help="time the run and report assignments/sec "
+                         "(assignments summed from the committed lineage)")
     args = ap.parse_args()
 
     # spark-submit provides the session; fall back to local for direct runs
@@ -33,13 +43,28 @@ def main():
     spark.sparkContext.setLogLevel("WARN")
 
     from osm2garmin_spark.pipeline.synth import synth_images, attach_geo
-    from osm2garmin_spark.pipeline.lineage import run_tiling_resumable
+    from osm2garmin_spark.pipeline.lineage import (LineageStore,
+                                                   run_tiling_resumable)
 
     corpus = attach_geo(synth_images(spark, args.rows)) \
         .withColumnRenamed("image_id", "event_id")
+    t0 = time.perf_counter()
     stats = run_tiling_resumable(
         corpus, args.out, max_nodes=args.max_nodes,
         resolution=args.resolution, id_col="event_id", run_id=args.run_id)
+    wall = time.perf_counter() - t0
+    if args.bench:
+        from pyspark.sql import functions as F
+        lineage = LineageStore(args.out).read(spark)
+        assigned = lineage.filter(F.col("stage") == "assign") \
+            .agg(F.sum("n_rows").alias("s")).collect()[0]["s"] or 0
+        stats.update({
+            "wall_sec": round(wall, 3),
+            "assignments": int(assigned),
+            "assignments_per_sec": round(assigned / wall, 1),
+            "master": spark.sparkContext.master,
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+        })
     print(json.dumps({"job": "tiling", **stats}))
     spark.stop()
 
