@@ -207,8 +207,10 @@ def main():
                 "tile_assign_fixed", "way_tileset", "knn_customers_suppliers",
                 "knn_stratified_customers_events", "knn_hex_customers_events",
                 "s2_cell_encode", "hex_cell_encode", "hex_cover_filter",
+                "hex_compact_cover",
                 "tile_boundary_raster",
-                "pip_hexagon", "doc_text_features", "doc_simhash",
+                "pip_hexagon", "pip_partitioned",
+                "doc_text_features", "doc_simhash",
                 "doc_token_bpe", "jaccard_pairs_docs", "embed_top3",
                 "minhash_candidates", "dedup_clusters_docs",
                 "phash_near_pairs_images", "phash_dedup_clusters",

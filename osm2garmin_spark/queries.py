@@ -728,6 +728,49 @@ SELECT event_id, hex_r9, hex_r5 FROM hexf
 """
 
 
+_COMPACT_BASE_RES = 2
+
+
+def hex_compact_cover(spark, sf_dir):
+    """hex covering compaction (H3 compactCells twin): the distinct res-2
+    cells of the event points, with every complete 7-sibling group
+    replaced by its parent, recursively — the minimal covering set a
+    cell-keyed scan prunes by. One shuffle per level over a shrinking
+    metadata-scale set (geo/hex.py:hex_compact); the oracle unrolls the
+    same bottom-up promotion as generated SQL over an independent
+    encode chain."""
+    from .geo.hex import attach_hex_id, hex_compact
+
+    pts = _event_points(spark, sf_dir)
+    cells = attach_hex_id(pts, F.col("lat"), F.col("lon"),
+                          _COMPACT_BASE_RES, "cell_id").select("cell_id")
+    return hex_compact(cells, base_res=_COMPACT_BASE_RES)
+
+
+def _hex_compact_sql() -> str:
+    from .geo.hex import MAX_RES, _RES_SHIFT, hex_sql_ctes
+    base = _COMPACT_BASE_RES
+    chain = hex_sql_ctes("pts", "event_id", "lat", "lon", base,
+                         out_levels=[base])
+
+    def parent(r):
+        mask = (1 << (3 * (MAX_RES - (r - 1)))) - 1
+        return f"((id | {mask}) - {1 << _RES_SHIFT})"
+
+    ctes = [f"pool{base} AS (SELECT DISTINCT hex_r{base} AS id FROM hexf)"]
+    unions = []
+    for r in range(base, 0, -1):
+        ctes.append(f"g{r} AS (SELECT {parent(r)} AS p, count(*) AS c "
+                    f"FROM pool{r} GROUP BY 1)")
+        ctes.append(f"keep{r} AS (SELECT id FROM pool{r} "
+                    f"WHERE {parent(r)} IN (SELECT p FROM g{r} WHERE c < 7))")
+        ctes.append(f"pool{r - 1} AS (SELECT p AS id FROM g{r} WHERE c = 7)")
+        unions.append(f"SELECT id AS cell_id FROM keep{r}")
+    unions.append("SELECT id AS cell_id FROM pool0")
+    return (f"WITH pts AS ({_EVENT_POINTS_SQL}),\n{chain},\n"
+            + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(unions))
+
+
 def relation_tileset(spark, sf_dir):
     """relation→tile union (SplitProcessor.processRelation:128-166):
     relations = nations; node members = customer points, way members =
@@ -2062,6 +2105,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_stratified_customers_events": knn_stratified_customers_events,
         "knn_hex_customers_events": knn_hex_customers_events,
         "hex_cover_filter": hex_cover_filter,
+        "hex_compact_cover": hex_compact_cover,
         "tile_boundary_raster": tile_boundary_raster,
         "pip_hexagon": pip_hexagon,
         "pip_partitioned": pip_partitioned,
@@ -2123,6 +2167,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "knn_stratified_customers_events": _KNN_STRAT_SQL,
         "knn_hex_customers_events": _KNN_STRAT_SQL,
         "hex_cover_filter": _HEX_COVER_SQL,
+        "hex_compact_cover": _hex_compact_sql(),
         "tile_boundary_raster": _tile_raster_sql(),
         "pip_hexagon": _PIP_SQL,
         "pip_partitioned": _PIP_PARTITIONED_SQL,

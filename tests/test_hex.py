@@ -286,3 +286,61 @@ def test_udf_null_coordinates_yield_null(spark):
         .orderBy("rid").collect()
     assert rows[0]["c"] is not None
     assert rows[1]["c"] is None and rows[2]["c"] is None
+
+
+# --- compaction (compactCells / uncompactCells twins) ------------------------
+
+def _random_cells(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-80.0, 80.0, n)
+    lon = rng.uniform(-170.0, 170.0, n)
+    return hex_id_np(lat, lon, 3)
+
+
+def test_compact_np_fixpoint_and_coverage():
+    from osm2garmin_spark.geo.hex import compact_np
+    ids = _random_cells()
+    # dense patch: all children of a few parents, so promotion fires
+    parents = np.unique(parent_id(ids[:50], 2))
+    dense = children_ids(parents).reshape(-1)
+    s = np.unique(np.concatenate([ids, dense]))
+    c = compact_np(s)
+    assert len(c) < len(s)                        # something promoted
+    assert np.array_equal(compact_np(c), c)       # idempotent (minimal)
+    # exact coverage: every input cell is contained in exactly ONE output
+    cover_count = contains(c[:, None], s[None, :]).sum(axis=0)
+    assert np.all(cover_count == 1)
+
+
+def test_hex_compact_matches_numpy_reference(spark):
+    from osm2garmin_spark.geo.hex import compact_np, hex_compact
+    ids = _random_cells()
+    parents = np.unique(parent_id(ids[:50], 2))
+    dense = children_ids(parents).reshape(-1)
+    s = np.unique(np.concatenate([ids, dense]))
+    # mixed-res input: sprinkle some coarse cells too
+    mixed = np.concatenate([s, np.unique(parent_id(ids[300:], 1))])
+    df = spark.createDataFrame([(int(c),) for c in mixed], "cell_id long")
+    got = sorted(r["cell_id"]
+                 for r in hex_compact(df, base_res=3).collect())
+    assert got == compact_np(mixed).tolist()
+
+
+def test_hex_uncompact_inverts_compact(spark):
+    from osm2garmin_spark.geo.hex import (compact_np, hex_compact,
+                                          hex_uncompact)
+    ids = _random_cells(seed=11)
+    parents = np.unique(parent_id(ids[:80], 2))
+    s = np.unique(np.concatenate([ids, children_ids(parents).reshape(-1)]))
+    df = spark.createDataFrame([(int(c),) for c in s], "cell_id long")
+    back = sorted(r["cell_id"] for r in
+                  hex_uncompact(hex_compact(df, base_res=3), 3).collect())
+    assert back == sorted(int(c) for c in s)
+
+
+def test_hex_compact_guards_finer_than_base(spark):
+    from osm2garmin_spark.geo.hex import hex_compact
+    ids = _random_cells()
+    df = spark.createDataFrame([(int(c),) for c in ids], "cell_id long")
+    with pytest.raises(Exception, match="finer than base_res"):
+        hex_compact(df, base_res=2).collect()
