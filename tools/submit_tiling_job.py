@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--bench", action="store_true",
                     help="time the run and report assignments/sec "
                          "(assignments summed from the committed lineage)")
+    ap.add_argument("--verify", action="store_true",
+                    help="bench the compute-dominated pipeline instead of "
+                         "the persisted write: density -> quadtree -> "
+                         "assignment join -> per-row decode verification "
+                         "(PSNR + caption), corpus persisted outside the "
+                         "timer — the scaling-efficiency work shape, where "
+                         "wall measures the engine, not this VM's disk")
     args = ap.parse_args()
 
     # spark-submit provides the session; fall back to local for direct runs
@@ -46,12 +53,40 @@ def main():
     from osm2garmin_spark.pipeline.lineage import (LineageStore,
                                                    run_tiling_resumable)
 
-    corpus = attach_geo(synth_images(spark, args.rows)) \
-        .withColumnRenamed("image_id", "event_id")
+    corpus = attach_geo(synth_images(spark, args.rows))
+
+    if args.verify:
+        from pyspark.sql import functions as F
+        from osm2garmin_spark.pipeline.tiling import run_tiling_pipeline
+        from osm2garmin_spark.pipeline.verify_tiles import \
+            tile_verification_summary
+        corpus = corpus.persist()
+        corpus.count()                       # generation outside the timer
+        t0 = time.perf_counter()
+        res = run_tiling_pipeline(corpus, max_nodes=args.max_nodes,
+                                  resolution=args.resolution)
+        plan_sec = time.perf_counter() - t0
+        agg = tile_verification_summary(res.assigned).agg(
+            F.sum("n_rows").alias("n"),
+            F.sum("n_pixel_ok").alias("ok")).collect()[0]
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "job": "tiling-verified", "tiles": len(res.tiles),
+            "wall_sec": round(wall, 3),
+            "phase_plan_sec": round(plan_sec, 3),
+            "phase_verify_sec": round(wall - plan_sec, 3),
+            "assignments": int(agg["n"]), "verified_ok": int(agg["ok"]),
+            "assignments_per_sec": round(agg["n"] / wall, 1),
+            "master": spark.sparkContext.master,
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+        }))
+        spark.stop()
+        return
+
     t0 = time.perf_counter()
     stats = run_tiling_resumable(
         corpus, args.out, max_nodes=args.max_nodes,
-        resolution=args.resolution, id_col="event_id", run_id=args.run_id)
+        resolution=args.resolution, id_col="image_id", run_id=args.run_id)
     wall = time.perf_counter() - t0
     if args.bench:
         from pyspark.sql import functions as F
