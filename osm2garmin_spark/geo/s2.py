@@ -422,3 +422,121 @@ def s2_sql_ctes(src_cte: str, id_col: str, lat_expr: str, lon_expr: str,
         f"- (CASE WHEN face >= 4 THEN 18446744073709551616 ELSE 0 END) "
         f"AS BIGINT) AS s2_cell FROM {prev})")
     return ",\n".join(ctes)
+
+
+# --- covering compaction (S2 cell-union normalization twins) ------------------
+
+def children_ids(cell_id):
+    """The 4 children of each cell, one level finer (s2geometry
+    child_begin/next semantics: child k sits at id - lsb + (2k+1)·lsb/4,
+    partitioning the parent's leaf range exactly)."""
+    c = np.atleast_1d(np.asarray(cell_id, np.int64))
+    lsb = _lsb_for_level_arr(c)
+    if np.any(lsb == np.int64(1)):
+        raise ValueError("leaf cells (level 30) have no children")
+    lc = lsb >> np.int64(2)
+    ks = np.arange(4, dtype=np.int64)[None, :]
+    out = c[:, None] - lsb[:, None] + (2 * ks + 1) * lc[:, None]
+    return out if np.ndim(cell_id) else out[0]
+
+
+def compact_np(ids) -> np.ndarray:
+    """Driver/numpy reference of S2 cell-union normalization: replace
+    every complete set of 4 siblings by their parent, repeatedly,
+    bottom-up (s2geometry ``S2CellUnion::Normalize`` semantics; mixed
+    levels allowed). Input is expected to be a
+    non-overlapping set (a covering): an ancestor already present in the
+    input is kept as-is alongside any surviving descendants, it does not
+    absorb them. Test twin of the distributed ``s2_compact``."""
+    cur = set(int(c) for c in np.unique(np.asarray(ids, np.int64)))
+    out: set = set()
+    for level in range(MAX_LEVEL, 0, -1):
+        lsb = _lsb_for_level(level)
+        at = [c for c in cur if (c & -c) == lsb]
+        if not at:
+            continue
+        groups: dict = {}
+        for c in at:
+            cur.discard(c)
+            groups.setdefault(int(parent_id(c, level - 1)), []).append(c)
+        for p, ch in groups.items():
+            if len(ch) == 4:
+                cur.add(p)
+            else:
+                out.update(ch)
+    out.update(cur)
+    return np.array(sorted(out), dtype=np.int64)
+
+
+def s2_parent_col(id_col, level: int):
+    """Ancestor at ``level`` as pure-JVM bit algebra on the canonical id
+    ((id & -lsb) | lsb — works from ANY finer level in one step)."""
+    from pyspark.sql import functions as F
+    lsb = _lsb_for_level(level)
+    return id_col.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
+
+
+def s2_compact(cells, id_col: str = "cell_id", base_level: int = MAX_LEVEL):
+    """Distributed S2 cell-union normalization (the quad twin of
+    geo/hex.py:hex_compact): one pass per level, finest first — cells at
+    the level key by their parent, a window count over the parent
+    partition splits complete 4-sibling groups (promoted) from
+    incomplete ones (emitted). One shuffle per level over a shrinking
+    metadata-scale set, localCheckpoint plan truncation; input cells
+    finer than ``base_level`` fail loudly."""
+    from pyspark.sql import Window, functions as F
+
+    lsb_base = _lsb_for_level(base_level)
+    trailing = F.col(id_col).bitwiseAND(-F.col(id_col))
+    guard = F.when(trailing >= lsb_base, F.col(id_col)) \
+        .otherwise(F.raise_error(F.lit(
+            f"s2_compact: cell finer than base_level={base_level} "
+            f"(pass the encode level)")))
+    cur = cells.select(guard.alias("cell_id")).distinct()
+    lsb_of = F.col("cell_id").bitwiseAND(-F.col("cell_id"))
+    kept = []
+    for level in range(base_level, 0, -1):
+        cur = cur.localCheckpoint(eager=True)
+        lsb = _lsb_for_level(level)
+        at_l = cur.filter(lsb_of == lsb)
+        rest = cur.filter(lsb_of != lsb)
+        flagged = (at_l
+                   .select("cell_id",
+                           s2_parent_col(F.col("cell_id"), level - 1)
+                           .alias("_p"))
+                   .withColumn("_c", F.count(F.lit(1)).over(
+                       Window.partitionBy("_p"))))
+        kept.append(flagged.filter(F.col("_c") < 4).select("cell_id")
+                    .localCheckpoint(eager=True))
+        promoted = (flagged.filter(F.col("_c") == 4)
+                    .select(F.col("_p").alias("cell_id")).distinct())
+        cur = rest.unionByName(promoted)
+    out = cur
+    for k in kept:
+        out = out.unionByName(k)
+    return out
+
+
+def s2_uncompact(cells, level: int, id_col: str = "cell_id"):
+    """Expand every cell to its 4^(level - l) descendants at ``level``
+    via the exact children algebra (Arrow row-expander; inverse of
+    ``s2_compact`` on uniform-level sets, pinned in tests)."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
+
+    def kernel(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(np.int64)
+            lv = level_of(ids)
+            if np.any(lv > level):
+                raise ValueError("s2_uncompact: cell finer than target level")
+            outs = []
+            for l in np.unique(lv):
+                cur = ids[lv == l]
+                for _ in range(int(l), level):
+                    cur = children_ids(cur).reshape(-1)
+                outs.append(cur)
+            yield pd.DataFrame({id_col: np.concatenate(outs)
+                                if outs else np.array([], np.int64)})
+
+    return cells.select(id_col).mapInPandas(kernel, schema=f"{id_col} long")

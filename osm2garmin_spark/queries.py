@@ -729,6 +729,46 @@ SELECT event_id, hex_r9, hex_r5 FROM hexf
 
 
 _COMPACT_BASE_RES = 2
+_S2_COMPACT_LEVEL = 5
+
+
+def s2_compact_cover(spark, sf_dir):
+    """S2 cell-union normalization (S2CellUnion::Normalize semantics —
+    the quad twin of hex_compact_cover): the distinct level-5 cells of
+    the event points with every complete 4-sibling group replaced by its
+    parent, recursively (geo/s2.py:s2_compact). The oracle unrolls the
+    identical bottom-up promotion in SQL over an independent encode
+    chain."""
+    from .geo.s2 import s2_cell_udf, s2_compact
+
+    pts = _event_points(spark, sf_dir)
+    cells = pts.select(
+        s2_cell_udf(_S2_COMPACT_LEVEL)(F.col("lat"), F.col("lon"))
+        .alias("cell_id"))
+    return s2_compact(cells, base_level=_S2_COMPACT_LEVEL)
+
+
+def _s2_compact_sql() -> str:
+    from .geo.s2 import _lsb_for_level, s2_sql_ctes
+    base = _S2_COMPACT_LEVEL
+    chain = s2_sql_ctes("pts", "event_id", "lat", "lon", base)
+
+    def parent(level):
+        lsb = _lsb_for_level(level - 1)
+        return f"((id & {-lsb}) | {lsb})"
+
+    ctes = [f"pool{base} AS (SELECT DISTINCT s2_cell AS id FROM s2f)"]
+    unions = []
+    for l in range(base, 0, -1):
+        ctes.append(f"g{l} AS (SELECT {parent(l)} AS p, count(*) AS c "
+                    f"FROM pool{l} GROUP BY 1)")
+        ctes.append(f"keep{l} AS (SELECT id FROM pool{l} "
+                    f"WHERE {parent(l)} IN (SELECT p FROM g{l} WHERE c < 4))")
+        ctes.append(f"pool{l - 1} AS (SELECT p AS id FROM g{l} WHERE c = 4)")
+        unions.append(f"SELECT id AS cell_id FROM keep{l}")
+    unions.append("SELECT id AS cell_id FROM pool0")
+    return (f"WITH pts AS ({_EVENT_POINTS_SQL}),\n{chain},\n"
+            + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(unions))
 
 
 def hex_compact_cover(spark, sf_dir):
@@ -2106,6 +2146,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hex_customers_events": knn_hex_customers_events,
         "hex_cover_filter": hex_cover_filter,
         "hex_compact_cover": hex_compact_cover,
+        "s2_compact_cover": s2_compact_cover,
         "tile_boundary_raster": tile_boundary_raster,
         "pip_hexagon": pip_hexagon,
         "pip_partitioned": pip_partitioned,
@@ -2168,6 +2209,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "knn_hex_customers_events": _KNN_STRAT_SQL,
         "hex_cover_filter": _HEX_COVER_SQL,
         "hex_compact_cover": _hex_compact_sql(),
+        "s2_compact_cover": _s2_compact_sql(),
         "tile_boundary_raster": _tile_raster_sql(),
         "pip_hexagon": _PIP_SQL,
         "pip_partitioned": _PIP_PARTITIONED_SQL,

@@ -236,3 +236,71 @@ def test_sql_twin_bit_identical(sample):
         ).df()["s2_cell"].to_numpy()
         want = cell_id_from_latlng(lat, lon, level)
         assert (got == want).all(), level
+
+
+# --- compaction (cell-union normalization twins) ------------------------------
+
+def _cells(n=500, seed=9, level=6):
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-80.0, 80.0, n)
+    lon = rng.uniform(-180.0, 180.0, n)
+    return cell_id_from_latlng(lat, lon, level)
+
+
+def test_s2_children_partition_parent():
+    from osm2garmin_spark.geo.s2 import children_ids
+    ids = np.unique(_cells(50, level=4))
+    ch = children_ids(ids)
+    assert ch.shape == (len(ids), 4)
+    assert np.all(level_of(ch.reshape(-1)) == 5)
+    assert np.all(parent_id(ch.reshape(-1), 4).reshape(-1, 4) == ids[:, None])
+    # the 4 children tile the parent's leaf range exactly, in order
+    # (adjacent ranges differ by 2: odd id positions are the leaves,
+    # the even id between two sibling ranges is never a cell id)
+    assert np.all(range_min(ch[:, 0]) == range_min(ids))
+    assert np.all(range_max(ch[:, 3]) == range_max(ids))
+    assert np.all(range_min(ch[:, 1:]) == range_max(ch[:, :3]) + 2)
+
+
+def test_s2_compact_np_fixpoint_and_coverage():
+    from osm2garmin_spark.geo.s2 import children_ids, compact_np
+    ids = np.unique(_cells())
+    dense = children_ids(np.unique(parent_id(ids[:60], 5))).reshape(-1)
+    s = np.unique(np.concatenate([ids, dense]))
+    c = compact_np(s)
+    assert len(c) < len(s)
+    assert np.array_equal(compact_np(c), c)
+    cover_count = contains(c[:, None], s[None, :]).sum(axis=0)
+    assert np.all(cover_count == 1)
+
+
+def test_s2_compact_matches_numpy_reference(spark):
+    from osm2garmin_spark.geo.s2 import children_ids, compact_np, s2_compact
+    ids = np.unique(_cells())
+    dense = children_ids(np.unique(parent_id(ids[:60], 5))).reshape(-1)
+    mixed = np.concatenate([ids, dense,
+                            np.unique(parent_id(ids[400:], 3))])
+    df = spark.createDataFrame([(int(c),) for c in mixed], "cell_id long")
+    got = sorted(r["cell_id"]
+                 for r in s2_compact(df, base_level=6).collect())
+    assert got == compact_np(mixed).tolist()
+
+
+def test_s2_uncompact_inverts_compact(spark):
+    from osm2garmin_spark.geo.s2 import (children_ids, s2_compact,
+                                         s2_uncompact)
+    ids = np.unique(_cells(seed=21))
+    s = np.unique(np.concatenate(
+        [ids, children_ids(np.unique(parent_id(ids[:80], 5))).reshape(-1)]))
+    df = spark.createDataFrame([(int(c),) for c in s], "cell_id long")
+    back = sorted(r["cell_id"] for r in
+                  s2_uncompact(s2_compact(df, base_level=6), 6).collect())
+    assert back == sorted(int(c) for c in s)
+
+
+def test_s2_compact_guards_finer_than_base(spark):
+    from osm2garmin_spark.geo.s2 import s2_compact
+    df = spark.createDataFrame([(int(c),) for c in _cells(20, level=8)],
+                               "cell_id long")
+    with pytest.raises(Exception, match="finer than base_level"):
+        s2_compact(df, base_level=6).collect()
