@@ -74,6 +74,47 @@ def points_in_polygon(points: DataFrame, poly: Sequence[Tuple[float, float]],
     )
 
 
+def points_in_region(points: DataFrame, region: dict,
+                     lat_col: str = "lat", lon_col: str = "lon",
+                     flag_col: str = "inside") -> DataFrame:
+    """Exact containment for a parsed ``.poly`` region (sources/io.py:
+    read_poly): outer rings PLUS holes, the reference's osmosis
+    ``--polygon-file`` semantics its splitter consumes
+    (OsmMaker.java:83-118). Even-odd over the multiset of all rings is
+    the XOR of per-ring even-odd casts, so a point inside an outer ring
+    and inside a hole cancels to outside — no special-casing. Vertices
+    arrive (lon, lat) as read_poly returns them; bbox prefilter from the
+    union of the OUTER rings' envelopes (holes can't extend the region).
+    """
+    outers = [[(float(la), float(lo)) for lo, la in r] for r in region["rings"]]
+    hole_rings = [[(float(la), float(lo)) for lo, la in r]
+                  for r in region.get("holes", [])]
+    if not outers:
+        return points.withColumn(flag_col, F.lit(False))
+    min_lat = min(p[0] for r in outers for p in r)
+    max_lat = max(p[0] for r in outers for p in r)
+    min_lon = min(p[1] for r in outers for p in r)
+    max_lon = max(p[1] for r in outers for p in r)
+    all_rings = outers + hole_rings
+
+    @F.pandas_udf(BooleanType())
+    def _pip(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        inside = np.zeros(len(la), dtype=bool)
+        for ring in all_rings:
+            inside ^= ray_cast(la, lo, ring)
+        return pd.Series(inside)
+
+    in_bbox = ((F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)
+               & (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon))
+    return points.withColumn(
+        flag_col,
+        F.when(in_bbox, _pip(F.col(lat_col), F.col(lon_col)))
+        .otherwise(F.lit(False)),
+    )
+
+
 def pip_join(points: DataFrame, polygons: List[Tuple[int, Sequence[Tuple[float, float]]]],
              lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
     """Multi-polygon containment join: one output row per (point, containing

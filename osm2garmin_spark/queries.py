@@ -1168,6 +1168,59 @@ def _region_edges_sql() -> str:
     return ", ".join(rows)
 
 
+#: donut region in read_poly's {"rings", "holes"} shape, (lon, lat) vertex
+#: order as the .poly source returns: one hexagonal outer ring with a
+#: hexagonal hole, plus a second disjoint outer ring — exercises the
+#: reference's osmosis --polygon-file hole semantics end-to-end
+_DONUT_REGION = {
+    "name": "donut",
+    "rings": [[(lo, la) for la, lo in _HEX],
+              [(lo + 120.0, la) for la, lo in _HEX]],
+    "holes": [[(lo * 0.35, la * 0.35) for la, lo in _HEX]],
+}
+
+
+def pip_region_holes(spark, sf_dir):
+    """.poly region containment WITH holes (points_in_region): even-odd
+    over outer rings + hole rings — a point inside the outer hexagon but
+    also inside the hole cancels to outside, the osmosis --polygon-file
+    semantics the reference's splitter consumes. The oracle is the same
+    edge-crossing-parity rederivation as pip_partitioned with the hole's
+    edges in the edge list: odd total crossings = inside the region."""
+    from .operators.pip import points_in_region
+    pts = _event_points(spark, sf_dir)
+    return (points_in_region(pts, _DONUT_REGION)
+            .filter(F.col("inside")).select("event_id"))
+
+
+def _region_holes_edges_sql() -> str:
+    rows = []
+    for ring in _DONUT_REGION["rings"] + _DONUT_REGION["holes"]:
+        latlon = [(la, lo) for lo, la in ring]
+        n = len(latlon)
+        for i in range(n):
+            y1, x1 = latlon[i]
+            y2, x2 = latlon[(i + 1) % n]
+            rows.append(f"({y1!r}, {x1!r}, {y2!r}, {x2!r})")
+    return ", ".join(rows)
+
+
+_PIP_REGION_HOLES_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+edges(y1, x1, y2, x2) AS (VALUES {{edges}}),
+crossings AS (
+  SELECT p.event_id
+  FROM pts p, edges e
+  WHERE e.x1 <> e.x2
+    AND ((e.x1 > p.lon) <> (e.x2 > p.lon))
+    AND p.lat < e.y1 + ((p.lon - e.x1) / (e.x2 - e.x1)) * (e.y2 - e.y1)
+)
+SELECT event_id FROM crossings
+GROUP BY event_id
+HAVING count(*) % 2 = 1
+""".replace("{edges}", _region_holes_edges_sql())
+
+
 # independent even-odd rederivation: a point is inside iff an ODD number of
 # polygon edges satisfies the same crossing predicate the numpy kernel
 # XOR-accumulates (operators/pip.py:ray_cast) — identical IEEE expression
@@ -2150,6 +2203,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_boundary_raster": tile_boundary_raster,
         "pip_hexagon": pip_hexagon,
         "pip_partitioned": pip_partitioned,
+        "pip_region_holes": pip_region_holes,
         "doc_text_features": doc_text_features,
         "doc_fingerprints": doc_fingerprints,
         "doc_simhash": doc_simhash,
@@ -2213,6 +2267,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "tile_boundary_raster": _tile_raster_sql(),
         "pip_hexagon": _PIP_SQL,
         "pip_partitioned": _PIP_PARTITIONED_SQL,
+        "pip_region_holes": _PIP_REGION_HOLES_SQL,
         "doc_text_features": _TEXT_FEATURES_SQL,
         "doc_fingerprints": _FP_SQL,
         "doc_simhash": _SIMHASH_SQL,

@@ -267,3 +267,28 @@ def test_kml_reader_strictness_advice_r2(tmp_path):
                 '</outerBoundaryIs></Polygon></Placemark></Document></kml>')
     with pytest.raises(ValueError, match="no\\s*<name>|name"):
         read_tiles_kml(p)
+
+
+def test_points_in_region_with_holes(spark, tmp_path):
+    """.poly holes flow through points_in_region: a point inside the outer
+    ring but inside the hole is OUTSIDE the region (osmosis --polygon-file
+    semantics), and a second disjoint outer ring still counts."""
+    from osm2garmin_spark.operators.pip import points_in_region
+    p = str(tmp_path / "donut.poly")
+    with open(p, "w") as f:
+        f.write("donut\n"
+                "outer\n  0.0 0.0\n  10.0 0.0\n  10.0 10.0\n  0.0 10.0\nEND\n"
+                "!hole\n  4.0 4.0\n  6.0 4.0\n  6.0 6.0\n  4.0 6.0\nEND\n"
+                "island\n  20.0 0.0\n  24.0 0.0\n  24.0 4.0\n  20.0 4.0\nEND\n"
+                "END\n")
+    r = read_poly(p)
+    assert len(r["rings"]) == 2 and len(r["holes"]) == 1
+    pts = spark.createDataFrame(
+        [(1, 2.0, 2.0),    # in outer, not in hole -> inside
+         (2, 5.0, 5.0),    # in the hole -> outside
+         (3, 2.0, 22.0),   # in the island ring -> inside
+         (4, 15.0, 15.0)], # nowhere
+        "id long, lat double, lon double")
+    got = {row["id"] for row in
+           points_in_region(pts, r).filter(F.col("inside")).collect()}
+    assert got == {1, 3}
