@@ -209,7 +209,7 @@ def main():
                 "s2_cell_encode", "hex_cell_encode", "hex_cover_filter",
                 "hex_compact_cover", "s2_compact_cover",
                 "tile_boundary_raster",
-                "pip_hexagon", "pip_partitioned",
+                "pip_hexagon", "pip_partitioned", "pip_region_holes",
                 "doc_text_features", "doc_simhash",
                 "doc_token_bpe", "jaccard_pairs_docs", "embed_top3",
                 "minhash_candidates", "dedup_clusters_docs",
