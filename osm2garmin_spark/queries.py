@@ -728,6 +728,50 @@ SELECT event_id, hex_r9, hex_r5 FROM hexf
 """
 
 
+def slippy_encode(spark, sf_dir):
+    """Web-Mercator XYZ tiles + Bing quadkeys (geo/webmercator.py — the
+    web ecosystem's universal tile pyramid, next to the engine's own
+    Garmin map-unit tiles): the zoom-12 tile of every event point as
+    pure JVM columns (whole-stage codegen, no UDF), the quadkey string
+    via bit interleave + concat, and the zoom-5 ancestor via the pyramid
+    shift algebra (parent = child >> dz on both axes). The oracle
+    re-derives the zoom-5 tile with the FULL projection formula at z=5
+    and the quadkey from its own interleave, so value equality proves
+    the pyramid prefix property across implementations as well as both
+    encodes."""
+    from .geo.webmercator import quadkey_col, slippy_x_col, slippy_y_col
+
+    pts = _event_points(spark, sf_dir)
+    out = pts.select(
+        "event_id",
+        slippy_x_col(F.col("lon"), 12).alias("tile_x_z12"),
+        slippy_y_col(F.col("lat"), 12).alias("tile_y_z12"))
+    return out.select(
+        "event_id", "tile_x_z12", "tile_y_z12",
+        quadkey_col(F.col("tile_x_z12"), F.col("tile_y_z12"), 12)
+        .alias("quadkey_z12"),
+        F.shiftrightunsigned(F.col("tile_x_z12"), 7).alias("tile_x_z5"),
+        F.shiftrightunsigned(F.col("tile_y_z12"), 7).alias("tile_y_z5"))
+
+
+def _slippy_sql() -> str:
+    from .geo.webmercator import quadkey_sql, slippy_x_sql, slippy_y_sql
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+t AS (
+  SELECT event_id,
+         {slippy_x_sql('lon', 12)} AS tile_x_z12,
+         {slippy_y_sql('lat', 12)} AS tile_y_z12,
+         {slippy_x_sql('lon', 5)} AS tile_x_z5,
+         {slippy_y_sql('lat', 5)} AS tile_y_z5
+  FROM pts)
+SELECT event_id, tile_x_z12, tile_y_z12,
+       {quadkey_sql('tile_x_z12', 'tile_y_z12', 12)} AS quadkey_z12,
+       tile_x_z5, tile_y_z5
+FROM t
+"""
+
+
 _COMPACT_BASE_RES = 2
 _S2_COMPACT_LEVEL = 5
 
@@ -2194,6 +2238,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_encode": cell_encode,
         "s2_cell_encode": s2_cell_encode,
         "hex_cell_encode": hex_cell_encode,
+        "slippy_encode": slippy_encode,
         "knn_customers_suppliers": knn_customers_suppliers,
         "knn_stratified_customers_events": knn_stratified_customers_events,
         "knn_hex_customers_events": knn_hex_customers_events,
@@ -2258,6 +2303,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "cell_encode": _cell_encode_sql(),
         "s2_cell_encode": _s2_cell_sql(),
         "hex_cell_encode": _hex_cell_sql(),
+        "slippy_encode": _slippy_sql(),
         "knn_customers_suppliers": _KNN_SQL,
         "knn_stratified_customers_events": _KNN_STRAT_SQL,
         "knn_hex_customers_events": _KNN_STRAT_SQL,
