@@ -772,6 +772,50 @@ FROM t
 """
 
 
+_RANGE_JOIN_KM = 150.0
+
+
+def range_join_customers_events(spark, sf_dir):
+    """fixed-radius near-neighbor join (operators/range_join.py): every
+    (customer, event) pair within 150 km great-circle distance. The
+    Spark plan blocks both sides onto a rigorous-bound lat/lon grid
+    (left side exploded 9x, right side keyed once), hash-joins on the
+    cell, and refines with the exact haversine as a JVM residual; the
+    oracle is the brute-force haversine join over all pairs with the
+    identical IEEE expression tree, so value equality proves the
+    blocking dropped no pair."""
+    from .operators.range_join import range_join_within
+
+    par = spark.sparkContext.defaultParallelism
+    cust = _read(spark, sf_dir, "customer").repartition(par).select(
+        F.col("c_custkey"),
+        derived_lat(F.col("c_custkey") + 900000).alias("lat"),
+        derived_lon(F.col("c_custkey") + 900000).alias("lon"))
+    ev = _event_points(spark, sf_dir)
+    out = range_join_within(cust.select("c_custkey", "lat", "lon"),
+                            ev.select("event_id", "lat", "lon"),
+                            _RANGE_JOIN_KM)
+    return out.select("c_custkey", "event_id")
+
+
+def _range_join_sql() -> str:
+    from .operators.range_join import haversine_km_sql
+    hav = haversine_km_sql("c.lat", "c.lon", "e.lat", "e.lon")
+    # ABS(lat diff) <= 2.0 is a plainly-safe prefilter (150 km < 2 deg of
+    # latitude everywhere on the sphere) that lets DuckDB range-join
+    # instead of nested-looping 15M pairs; the haversine is the decider.
+    return f"""
+WITH cust AS (
+  SELECT c_custkey, {derived_lat_sql('(c_custkey + 900000)')} AS lat,
+         {derived_lon_sql('(c_custkey + 900000)')} AS lon
+  FROM customer
+), ev AS ({_EVENT_POINTS_SQL})
+SELECT c.c_custkey, e.event_id
+FROM cust c JOIN ev e
+  ON ABS(e.lat - c.lat) <= 2.0 AND {hav} <= {_RANGE_JOIN_KM!r}
+"""
+
+
 _COMPACT_BASE_RES = 2
 _S2_COMPACT_LEVEL = 5
 
@@ -2240,6 +2284,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cell_encode": hex_cell_encode,
         "slippy_encode": slippy_encode,
         "knn_customers_suppliers": knn_customers_suppliers,
+        "range_join_customers_events": range_join_customers_events,
         "knn_stratified_customers_events": knn_stratified_customers_events,
         "knn_hex_customers_events": knn_hex_customers_events,
         "hex_cover_filter": hex_cover_filter,
@@ -2305,6 +2350,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "hex_cell_encode": _hex_cell_sql(),
         "slippy_encode": _slippy_sql(),
         "knn_customers_suppliers": _KNN_SQL,
+        "range_join_customers_events": _range_join_sql(),
         "knn_stratified_customers_events": _KNN_STRAT_SQL,
         "knn_hex_customers_events": _KNN_STRAT_SQL,
         "hex_cover_filter": _HEX_COVER_SQL,

@@ -1,0 +1,113 @@
+"""Fixed-radius near-neighbor join (operators/range_join.py):
+brute-force parity, dateline wrap, rigorous-bound cell sizing, plan
+shape (hash equi-join on cells, never cartesian), input guards."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from osm2garmin_spark.operators.range_join import (
+    R_EARTH, _cell_sizes_deg, haversine_km, range_join_within,
+)
+
+
+def _hav_np(lat1, lon1, lat2, lon2):
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dp = np.radians(lat2 - lat1)
+    dl = np.radians(lon2 - lon1)
+    a = (np.sin(dp / 2) ** 2
+         + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2)
+    return 2 * R_EARTH * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+
+
+def _mkdf(spark, ids, lat, lon, idname):
+    rows = [(int(i), float(la), float(lo)) for i, la, lo in zip(ids, lat, lon)]
+    return spark.createDataFrame(rows, f"{idname} long, lat double, lon double")
+
+
+def test_cell_sizes_are_rigorous_bounds():
+    cell_lat, cell_lon = _cell_sizes_deg(150.0, 85.1)
+    # lat: exactly degrees(R/R_E)
+    assert cell_lat == pytest.approx(math.degrees(150.0 / R_EARTH))
+    # lon: any pair within 150 km at |lat| <= 85.1 must differ by < cell_lon
+    # (sample extremes near the cap)
+    lat = np.full(1000, 85.1)
+    dlon = np.linspace(0, cell_lon * 1.5, 1000)
+    d = _hav_np(lat, np.zeros(1000), lat, dlon)
+    assert (d[dlon > cell_lon] > 150.0).all()
+
+
+def test_degenerate_grids_raise():
+    with pytest.raises(ValueError, match="radius"):
+        _cell_sizes_deg(0.0, 85.0)
+    with pytest.raises(ValueError, match="s2"):
+        _cell_sizes_deg(5000.0, 89.0)   # lon cells span the globe
+
+
+def test_matches_brute_force(spark):
+    rng = np.random.default_rng(17)
+    na, nb = 150, 900
+    alat = rng.uniform(-80, 80, na)
+    alon = rng.uniform(-180, 180, na)
+    blat = rng.uniform(-80, 80, nb)
+    blon = rng.uniform(-180, 180, nb)
+    r = 400.0
+    a = _mkdf(spark, range(na), alat, alon, "a_id")
+    b = _mkdf(spark, range(nb), blat, blon, "b_id")
+    got = sorted((x["a_id"], x["b_id"]) for x in
+                 range_join_within(a, b, r, max_abs_lat=80.5).collect())
+    d = _hav_np(alat[:, None], alon[:, None], blat[None, :], blon[None, :])
+    want = sorted((i, j) for i, j in zip(*np.nonzero(d <= r)))
+    assert got == [(int(i), int(j)) for i, j in want]
+
+
+def test_dateline_pairs_found(spark):
+    a = _mkdf(spark, [0], [10.0], [179.95], "a_id")
+    b = _mkdf(spark, [0, 1], [10.0, 10.0], [-179.95, 0.0], "b_id")
+    got = range_join_within(a, b, 50.0, max_abs_lat=20.0).collect()
+    assert [(r["a_id"], r["b_id"]) for r in got] == [(0, 0)]
+
+
+def test_distance_column_and_no_duplicates(spark):
+    rng = np.random.default_rng(5)
+    n = 120
+    lat = rng.uniform(-30, 30, n)
+    lon = rng.uniform(-40, 40, n)
+    a = _mkdf(spark, range(n), lat, lon, "a_id")
+    b = _mkdf(spark, range(n), lat, lon, "b_id")
+    out = range_join_within(a, b, 300.0, max_abs_lat=35.0,
+                            dist_col="dist_km").collect()
+    pairs = [(r["a_id"], r["b_id"]) for r in out]
+    assert len(pairs) == len(set(pairs))           # each pair exactly once
+    # self pairs present at distance 0
+    selfs = [r for r in out if r["a_id"] == r["b_id"]]
+    assert len(selfs) == n and all(r["dist_km"] == 0.0 for r in selfs)
+    # reported distance equals the numpy haversine
+    for r in out[:50]:
+        want = _hav_np(lat[r["a_id"]], lon[r["a_id"]],
+                       lat[r["b_id"]], lon[r["b_id"]])
+        assert r["dist_km"] == pytest.approx(float(want), rel=1e-12)
+
+
+def test_polar_input_raises(spark):
+    a = _mkdf(spark, [0], [89.0], [0.0], "a_id")
+    b = _mkdf(spark, [0], [10.0], [0.0], "b_id")
+    with pytest.raises(Exception, match="max_abs_lat"):
+        range_join_within(a, b, 50.0, max_abs_lat=80.0).collect()
+
+
+def test_plan_is_hash_equi_join_no_cartesian(spark):
+    rng = np.random.default_rng(9)
+    n = 200
+    a = _mkdf(spark, range(n), rng.uniform(-60, 60, n),
+              rng.uniform(-180, 180, n), "a_id")
+    b = _mkdf(spark, range(n), rng.uniform(-60, 60, n),
+              rng.uniform(-180, 180, n), "b_id")
+    plan = range_join_within(a, b, 200.0)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan and "_ix" in plan
