@@ -1761,6 +1761,63 @@ def phash_dedup_clusters(spark, sf_dir):
     return out.select("image_id", "cluster_id")
 
 
+def crossmodal_dedup_clusters(spark, sf_dir):
+    """CROSS-MODAL dedup end-to-end: a multimodal training-data pipeline
+    deduplicates on BOTH payloads — caption near-dups (minhash banded
+    LSH over the text, functions/dedup.py) and image near-dups (pHash
+    banded blocking over the stored fingerprint, functions/phash.py) —
+    and a pair in EITHER modality merges the rows into one cluster
+    (union of edge sets → connected components → canonical min-id
+    survivor). Composes three oracled operators; the oracle unions both
+    modalities' SQL edge CTEs under one recursive reachability closure,
+    so value equality proves the composition, not just the parts."""
+    from .pipeline.synth import _gen_map
+    from .functions.phash import phash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    text_pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=1, num_hashes=16, bands=8).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+
+    images = docs.select(F.col("doc_id").alias("id")).mapInPandas(
+        _gen_map, schema="image_id string, bytes binary, w int, h int, "
+        "fmt string, caption string, phash long")
+    hashes = images.select(
+        F.regexp_replace("image_id", "^img", "").cast("long")
+        .alias("image_id"), "phash")
+    img_pairs = phash_near_pairs(hashes, max_hamming=3) \
+        .select("id_a", "id_b")
+
+    edges = text_pairs.unionByName(img_pairs).dropDuplicates(
+        ["id_a", "id_b"])
+    out = D.dedup_clusters(docs.select("doc_id"), edges,
+                           id_col="doc_id", a_col="id_a", b_col="id_b")
+    return out.select("doc_id", "cluster_id")
+
+
+def _crossmodal_clusters_sql() -> str:
+    """Union of the minhash edge CTEs (docs/words/.../pairs) and the
+    pHash edge CTEs (ids/px/.../ham) — disjoint name sets — under the
+    same reachability-closure components as _dedup_clusters_sql."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+{_phash_pair_ctes("WHERE doc_id < 300")},
+near AS (SELECT id_a, id_b FROM ham WHERE d <= 3),
+alledges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+  UNION ALL SELECT id_a AS src, id_b AS dst FROM near
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM near
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN alledges e ON e.src = r.dst
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
 def minhash_candidates(spark, sf_dir):
     """MinHash-LSH near-dup candidates (scale path for jaccard_pairs_docs)."""
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -2315,6 +2372,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup_clusters": phash_dedup_clusters,
         "minhash_candidates": minhash_candidates,
         "dedup_clusters_docs": dedup_clusters_docs,
+        "crossmodal_dedup_clusters": crossmodal_dedup_clusters,
         "ann_lsh_top3": ann_lsh_top3,
         "ann_ivf_top3": ann_ivf_top3,
         "video_frame_stats": video_frame_stats,
@@ -2383,6 +2441,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "audio_window_features": _AUDIO_FEATURES_SQL,
         "minhash_candidates": _minhash_sql(),
         "dedup_clusters_docs": _dedup_clusters_sql(),
+        "crossmodal_dedup_clusters": _crossmodal_clusters_sql(),
         "ann_lsh_top3": _ann_lsh_sql(),
         "stream_tumbling_counts": _STREAM_TUMBLING_SQL,
         "stream_session_windows": _STREAM_SESSION_SQL,
