@@ -206,6 +206,7 @@ def main():
                 "top3_orders_per_customer", "density_histogram",
                 "tile_assign_fixed", "way_tileset", "knn_customers_suppliers",
                 "knn_stratified_customers_events", "knn_hex_customers_events",
+                "range_join_customers_events", "slippy_encode",
                 "s2_cell_encode", "hex_cell_encode", "hex_cover_filter",
                 "hex_compact_cover", "s2_compact_cover",
                 "tile_boundary_raster",
@@ -213,6 +214,7 @@ def main():
                 "doc_text_features", "doc_simhash",
                 "doc_token_bpe", "jaccard_pairs_docs", "embed_top3",
                 "minhash_candidates", "dedup_clusters_docs",
+                "crossmodal_dedup_clusters",
                 "phash_near_pairs_images", "phash_dedup_clusters",
                 "ann_lsh_top3", "ann_ivf_top3",
                 "image_decode_stats", "video_frame_stats",
