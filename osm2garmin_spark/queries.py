@@ -772,6 +772,69 @@ FROM t
 """
 
 
+_WEBCOVER_ZOOM = 5
+
+
+def tile_webcover(spark, sf_dir):
+    """Bridge between the two tiling schemes: for every Garmin map-unit
+    tile in the fixed regression set, the covering zoom-5 Web-Mercator
+    tiles (the XYZ set a renderer prefetches to draw that Garmin tile)
+    plus each web tile's quadkey. Corners convert mu → degrees exactly
+    (×360 / 2^24 is exact in double), the x/y ranges come from the
+    slippy projection at the rect corners (y inverts: north edge → low
+    y), and the cover enumerates JVM-side via sequence+explode — no UDF,
+    no driver loop. The oracle rebuilds the ranges from the same corner
+    formulas and enumerates with generate_series."""
+    from .geo.webmercator import quadkey_col, slippy_x_col, slippy_y_col
+
+    z = _WEBCOVER_ZOOM
+    rows = [(t.map_id, t.min_lat, t.min_long, t.max_lat, t.max_long)
+            for t in _FIXED_TILES]
+    tiles = spark.createDataFrame(
+        rows, "tile_id int, min_lat_mu long, min_lon_mu long, "
+              "max_lat_mu long, max_lon_mu long")
+    mu2deg = lambda c: F.col(c) * F.lit(360.0) / F.lit(16777216.0)
+    t = tiles.select(
+        "tile_id",
+        slippy_x_col(mu2deg("min_lon_mu"), z).alias("x_lo"),
+        slippy_x_col(mu2deg("max_lon_mu"), z).alias("x_hi"),
+        slippy_y_col(mu2deg("max_lat_mu"), z).alias("y_lo"),
+        slippy_y_col(mu2deg("min_lat_mu"), z).alias("y_hi"))
+    out = (t.select("tile_id", "y_lo", "y_hi",
+                    F.explode(F.sequence("x_lo", "x_hi")).alias("web_x"))
+            .select("tile_id", "web_x",
+                    F.explode(F.sequence("y_lo", "y_hi")).alias("web_y")))
+    return out.select(
+        "tile_id", "web_x", "web_y",
+        quadkey_col(F.col("web_x"), F.col("web_y"), z).alias("quadkey"))
+
+
+def _tile_webcover_sql() -> str:
+    from .geo.webmercator import quadkey_sql, slippy_x_sql, slippy_y_sql
+    z = _WEBCOVER_ZOOM
+    rows = ", ".join(
+        f"({t.map_id}, {t.min_lat}, {t.min_long}, {t.max_lat}, {t.max_long})"
+        for t in _FIXED_TILES)
+    return f"""
+WITH tiles(tile_id, min_lat_mu, min_lon_mu, max_lat_mu, max_lon_mu) AS
+  (VALUES {rows}),
+rng AS (
+  SELECT tile_id,
+         {slippy_x_sql('(min_lon_mu * 360.0 / 16777216.0)', z)} AS x_lo,
+         {slippy_x_sql('(max_lon_mu * 360.0 / 16777216.0)', z)} AS x_hi,
+         {slippy_y_sql('(max_lat_mu * 360.0 / 16777216.0)', z)} AS y_lo,
+         {slippy_y_sql('(min_lat_mu * 360.0 / 16777216.0)', z)} AS y_hi
+  FROM tiles)
+SELECT tile_id, xs.web_x, ys.web_y,
+       {quadkey_sql('xs.web_x', 'ys.web_y', z)} AS quadkey
+FROM rng,
+     range({1 << z}) AS xs(web_x),
+     range({1 << z}) AS ys(web_y)
+WHERE xs.web_x BETWEEN x_lo AND x_hi
+  AND ys.web_y BETWEEN y_lo AND y_hi
+"""
+
+
 _RANGE_JOIN_KM = 150.0
 
 
@@ -2340,6 +2403,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_encode": s2_cell_encode,
         "hex_cell_encode": hex_cell_encode,
         "slippy_encode": slippy_encode,
+        "tile_webcover": tile_webcover,
         "knn_customers_suppliers": knn_customers_suppliers,
         "range_join_customers_events": range_join_customers_events,
         "knn_stratified_customers_events": knn_stratified_customers_events,
@@ -2407,6 +2471,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "s2_cell_encode": _s2_cell_sql(),
         "hex_cell_encode": _hex_cell_sql(),
         "slippy_encode": _slippy_sql(),
+        "tile_webcover": _tile_webcover_sql(),
         "knn_customers_suppliers": _KNN_SQL,
         "range_join_customers_events": _range_join_sql(),
         "knn_stratified_customers_events": _KNN_STRAT_SQL,

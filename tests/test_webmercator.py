@@ -127,3 +127,28 @@ def test_catalyst_and_sql_twins_match_numpy(spark):
     assert [r[1] for r in res] == list(xs)
     assert [r[2] for r in res] == list(ys)
     assert [r[3] for r in res] == list(qk)
+
+
+def test_tile_webcover_bridge_invariant(spark):
+    """Assignment ⊆ cover: a point inside a Garmin tile's (raw) map-unit
+    rect must land in a web tile that tile_webcover enumerated for it."""
+    from osm2garmin_spark.queries import (
+        _FIXED_TILES, _WEBCOVER_ZOOM, _event_points, tile_webcover)
+    from osm2garmin_spark.geo.units import to_map_unit
+
+    cover = {(r["tile_id"], r["web_x"], r["web_y"])
+             for r in tile_webcover(spark, "/root/testdata/sf0.001").collect()}
+    pts = _event_points(spark, "/root/testdata/sf0.001").limit(2000).collect()
+    lat = np.array([r["lat"] for r in pts])
+    lon = np.array([r["lon"] for r in pts])
+    lat_mu = to_map_unit(lat)
+    lon_mu = to_map_unit(lon)
+    x, y = slippy_xy_np(lat, lon, _WEBCOVER_ZOOM)
+    checked = 0
+    for t in _FIXED_TILES:
+        inside = ((lat_mu >= t.min_lat) & (lat_mu <= t.max_lat)
+                  & (lon_mu >= t.min_long) & (lon_mu <= t.max_long))
+        for xi, yi in zip(x[inside], y[inside]):
+            assert (t.map_id, int(xi), int(yi)) in cover
+            checked += 1
+    assert checked > 800
