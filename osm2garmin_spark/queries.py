@@ -772,6 +772,46 @@ FROM t
 """
 
 
+_SIMPLIFY_EPS2 = 10_000_000_000_000   # doubled-area threshold, map-units²
+_SIMPLIFY_PASSES = 3
+
+
+def simplify_event_tracks(spark, sf_dir):
+    """Polyline generalization (operators/simplify.py — the engine's
+    twin of the mkgmap douglas-peucker style filters): event points
+    grouped into 500 tracks, three batched effective-area decimation
+    passes at eps2 = 1e13 mu². The area arithmetic is exact int64, so
+    the oracle — the same three passes unrolled as SQL window CTEs — is
+    a bit-for-bit equality, and the plan pays ONE shuffle for all three
+    passes (window partitioning reused; pinned in test_plans)."""
+    from .operators.simplify import simplify_polylines
+
+    pts = _event_points(spark, sf_dir)
+    base = pts.select(
+        (F.col("event_id") % 500).alias("way_id"),
+        F.col("event_id").alias("seq"),
+        map_unit(F.col("lon")).alias("lon_mu"),
+        map_unit(F.col("lat")).alias("lat_mu"))
+    out = simplify_polylines(base, _SIMPLIFY_EPS2, passes=_SIMPLIFY_PASSES)
+    return out.select("way_id", "seq", "lon_mu", "lat_mu")
+
+
+def _simplify_sql() -> str:
+    from .operators.simplify import decimate_pass_sql_cte
+    ctes = ",\n".join(
+        decimate_pass_sql_cte(f"p{i}", f"p{i + 1}", _SIMPLIFY_EPS2)
+        for i in range(_SIMPLIFY_PASSES))
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+p0 AS (
+  SELECT event_id % 500 AS way_id, event_id AS seq,
+         {map_unit_sql('lon')} AS lon_mu, {map_unit_sql('lat')} AS lat_mu
+  FROM pts),
+{ctes}
+SELECT way_id, seq, lon_mu, lat_mu FROM p{_SIMPLIFY_PASSES}
+"""
+
+
 _WEBCOVER_ZOOM = 5
 
 
@@ -2404,6 +2444,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cell_encode": hex_cell_encode,
         "slippy_encode": slippy_encode,
         "tile_webcover": tile_webcover,
+        "simplify_event_tracks": simplify_event_tracks,
         "knn_customers_suppliers": knn_customers_suppliers,
         "range_join_customers_events": range_join_customers_events,
         "knn_stratified_customers_events": knn_stratified_customers_events,
@@ -2472,6 +2513,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "hex_cell_encode": _hex_cell_sql(),
         "slippy_encode": _slippy_sql(),
         "tile_webcover": _tile_webcover_sql(),
+        "simplify_event_tracks": _simplify_sql(),
         "knn_customers_suppliers": _KNN_SQL,
         "range_join_customers_events": _range_join_sql(),
         "knn_stratified_customers_events": _KNN_STRAT_SQL,

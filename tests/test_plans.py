@@ -377,3 +377,43 @@ def test_pip_partitioned_shuffle_join_not_broadcast(spark):
     assert "BroadcastHashJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_slippy_queries_are_pure_jvm(spark):
+    """slippy_encode and tile_webcover must stay inside whole-stage
+    codegen: no Python evaluation operator anywhere in the plan (the
+    projection, quadkey interleave and cover enumeration are all
+    Catalyst expressions)."""
+    from osm2garmin_spark.queries import slippy_encode, tile_webcover
+
+    for q in (slippy_encode, tile_webcover):
+        plan = _plan(q(spark, SF))
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        # '* ' prefix = the operator runs inside whole-stage codegen
+        assert "* Project" in plan
+
+
+def test_range_join_right_side_keys_once_no_explode(spark):
+    """The 9x ring explode must be on the LEFT (query) side only: the
+    plan's Generate operators all sit under the left scan, and the right
+    side reaches the join through exactly one projection of its cell
+    key (no Generate)."""
+    from osm2garmin_spark.operators.range_join import range_join_within
+
+    a = spark.range(0, 100).select(
+        F.col("id").alias("a_id"),
+        derived_lat(F.col("id")).alias("lat"),
+        derived_lon(F.col("id")).alias("lon"))
+    b = spark.range(0, 100000).select(
+        F.col("id").alias("b_id"),
+        derived_lat(F.col("id")).alias("lat"),
+        derived_lon(F.col("id")).alias("lon"))
+    plan = _plan(range_join_within(a, b, 100.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly the two left-side explodes (dx, dy) — nothing on the right
+    import re
+    gen_ids = set(re.findall(r"\((\d+)\) Generate", plan))
+    assert len(gen_ids) == 2, plan
