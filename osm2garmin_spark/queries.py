@@ -772,6 +772,39 @@ FROM t
 """
 
 
+def geohash_encode(spark, sf_dir):
+    """Geohash cells (geo/geohash.py — the base32 scheme of
+    Redis/Elasticsearch, completing the index family): precision-8 hash
+    for every event point as a pure-JVM column, precision-4 parent via
+    the EXACT prefix property (substring — exact because the axis
+    integers scale by powers of two, see module docstring). The oracle
+    re-derives the parent with a full independent precision-4 encode,
+    so value equality proves the prefix algebra across implementations
+    as well as both encodes."""
+    from .geo.geohash import geohash_col
+
+    pts = _event_points(spark, sf_dir)
+    return pts.select(
+        "event_id",
+        geohash_col(F.col("lat"), F.col("lon"), 8).alias("gh8")
+    ).withColumn("gh4", F.substring(F.col("gh8"), 1, 4))
+
+
+def _geohash_sql() -> str:
+    from .geo.geohash import geohash_sql_ctes
+    c8 = geohash_sql_ctes("pts", "event_id", "lat", "lon", 8,
+                          out_cte="g8", out_col="gh8")
+    c4 = geohash_sql_ctes("pts", "event_id", "lat", "lon", 4,
+                          out_cte="g4", out_col="gh4")
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+{c8},
+{c4}
+SELECT a.event_id, a.gh8, b.gh4
+FROM g8 a JOIN g4 b ON a.event_id = b.event_id
+"""
+
+
 _SIMPLIFY_EPS2 = 10_000_000_000_000   # doubled-area threshold, map-units²
 _SIMPLIFY_PASSES = 3
 
@@ -2445,6 +2478,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slippy_encode": slippy_encode,
         "tile_webcover": tile_webcover,
         "simplify_event_tracks": simplify_event_tracks,
+        "geohash_encode": geohash_encode,
         "knn_customers_suppliers": knn_customers_suppliers,
         "range_join_customers_events": range_join_customers_events,
         "knn_stratified_customers_events": knn_stratified_customers_events,
@@ -2514,6 +2548,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "slippy_encode": _slippy_sql(),
         "tile_webcover": _tile_webcover_sql(),
         "simplify_event_tracks": _simplify_sql(),
+        "geohash_encode": _geohash_sql(),
         "knn_customers_suppliers": _KNN_SQL,
         "range_join_customers_events": _range_join_sql(),
         "knn_stratified_customers_events": _KNN_STRAT_SQL,

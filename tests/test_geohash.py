@@ -1,0 +1,68 @@
+"""Geohash (geo/geohash.py): published anchor, prefix property,
+numpy/Catalyst/SQL three-implementation agreement, precision guard."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from osm2garmin_spark.geo.geohash import (
+    ALPHABET, geohash_col, geohash_np, geohash_sql_ctes,
+)
+
+
+def test_published_anchor():
+    # the classic example: (57.64911, 10.40744) -> u4pruydqqvj8
+    gh = geohash_np(np.array([57.64911]), np.array([10.40744]), 12)
+    assert gh[0] == "u4pruydqqvj8"
+    gh6 = geohash_np(np.array([57.64911]), np.array([10.40744]), 6)
+    assert gh6[0] == "u4pruy"
+    # equator/greenwich sits at the s/7 boundary cell
+    assert geohash_np(np.array([0.0]), np.array([0.0]), 2)[0] == "s0"
+
+
+def test_prefix_property_exact():
+    rng = np.random.default_rng(31)
+    lat = rng.uniform(-90, 90, 2000)
+    lon = rng.uniform(-180, 180, 2000)
+    g8 = geohash_np(lat, lon, 8)
+    g4 = geohash_np(lat, lon, 4)
+    assert all(a.startswith(b) for a, b in zip(g8, g4))
+
+
+def test_precision_validation():
+    with pytest.raises(ValueError, match="precision"):
+        geohash_np(np.array([0.0]), np.array([0.0]), 7)
+    with pytest.raises(ValueError, match="precision"):
+        geohash_np(np.array([0.0]), np.array([0.0]), 14)
+
+
+def test_alphabet_is_the_published_one():
+    assert ALPHABET == "0123456789bcdefghjkmnpqrstuvwxyz"
+    assert len(set(ALPHABET)) == 32
+    for banned in "ailo":
+        assert banned not in ALPHABET
+
+
+def test_catalyst_and_sql_twins_match_numpy(spark):
+    rng = np.random.default_rng(41)
+    lat = rng.uniform(-90, 90, 500)
+    lon = rng.uniform(-180, 180, 500)
+    want = list(geohash_np(lat, lon, 8))
+
+    rows = [(int(i), float(la), float(lo))
+            for i, (la, lo) in enumerate(zip(lat, lon))]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = df.select("id", geohash_col(F.col("lat"), F.col("lon"), 8)
+                    .alias("gh")).orderBy("id").collect()
+    assert [r["gh"] for r in got] == want
+
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame(
+        {"id": range(len(lat)), "lat": lat, "lon": lon}))
+    ctes = geohash_sql_ctes("pts", "id", "lat", "lon", 8)
+    res = con.execute(
+        f"WITH {ctes} SELECT id, geohash FROM ghf ORDER BY id").fetchall()
+    assert [r[1] for r in res] == want
