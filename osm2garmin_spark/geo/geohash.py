@@ -117,3 +117,54 @@ def geohash_sql_ctes(src_cte: str, id_col: str, lat_expr: str, lon_expr: str,
   FROM {out_cte}_ax),
 {out_cte} AS (
   SELECT {id_col}, {chars} AS {out_col} FROM {out_cte}_v)"""
+
+
+# --- neighbors ----------------------------------------------------------------
+
+def decode_int_np(v: np.ndarray, precision: int):
+    """(ilat, ilon) axis integers back out of the interleaved hash."""
+    h = _check_precision(precision)
+    v = np.asarray(v, np.uint64)
+    ilon = _compact_np(v >> np.uint64(1))
+    ilat = _compact_np(v)
+    return ilat.astype(np.int64) & ((1 << h) - 1), \
+        ilon.astype(np.int64) & ((1 << h) - 1)
+
+
+def _compact_np(v: np.ndarray) -> np.ndarray:
+    """Inverse of _spread_np: gather the even-position bits."""
+    v = v.astype(np.uint64) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def neighbors_np(gh: str) -> list:
+    """The up-to-8 adjacent geohash strings (lon wraps; lat clamps at
+    the poles — the cells off the top/bottom edge do not exist)."""
+    precision = len(gh)
+    h = _check_precision(precision)
+    n = 1 << h
+    digits = np.array([ALPHABET.index(c) for c in gh], np.uint64)
+    v = np.uint64(0)
+    for d in digits:
+        v = (v << np.uint64(5)) | d
+    ilat, ilon = decode_int_np(np.array([v]), precision)
+    ilat, ilon = int(ilat[0]), int(ilon[0])
+    out = []
+    for dlat in (-1, 0, 1):
+        for dlon in (-1, 0, 1):
+            if dlat == dlon == 0:
+                continue
+            la = ilat + dlat
+            if not (0 <= la < n):
+                continue                       # polar edge: no cell there
+            lo = (ilon + dlon) % n             # antimeridian wraps
+            vv = int((_spread_np(np.array([lo]))[0] << np.uint64(1))
+                     | _spread_np(np.array([la]))[0])
+            out.append("".join(ALPHABET[(vv >> (5 * (precision - 1 - k))) & 31]
+                               for k in range(precision)))
+    return sorted(set(out))

@@ -66,3 +66,32 @@ def test_catalyst_and_sql_twins_match_numpy(spark):
     res = con.execute(
         f"WITH {ctes} SELECT id, geohash FROM ghf ORDER BY id").fetchall()
     assert [r[1] for r in res] == want
+
+def test_neighbors_geometric_and_symmetric():
+    from osm2garmin_spark.geo.geohash import neighbors_np, decode_int_np, geohash_int_np
+    rng = np.random.default_rng(13)
+    for _ in range(30):
+        la = float(rng.uniform(-80, 80))
+        lo = float(rng.uniform(-179, 179))
+        gh = geohash_np(np.array([la]), np.array([lo]), 6)[0]
+        ns = neighbors_np(gh)
+        assert len(ns) == 8 and gh not in ns
+        # nudge one cell east/west/north/south: the nudged hash must be
+        # self or a neighbor (nudge = one cell width in each axis)
+        for dla, dlo in ((0, 360 / 2**15), (0, -360 / 2**15),
+                         (180 / 2**15, 0), (-180 / 2**15, 0)):
+            gh2 = geohash_np(np.array([la + dla]), np.array([lo + dlo]), 6)[0]
+            assert gh2 == gh or gh2 in ns, (gh, gh2)
+        # symmetry
+        for m in ns:
+            assert gh in neighbors_np(m)
+
+
+def test_neighbors_wrap_and_poles():
+    from osm2garmin_spark.geo.geohash import neighbors_np
+    east = geohash_np(np.array([10.0]), np.array([179.999]), 4)[0]
+    west = geohash_np(np.array([10.0]), np.array([-179.999]), 4)[0]
+    assert west in neighbors_np(east)
+    # top-row cell: only 5 neighbors (nothing above the pole)
+    top = geohash_np(np.array([89.999]), np.array([0.0]), 4)[0]
+    assert len(neighbors_np(top)) == 5
