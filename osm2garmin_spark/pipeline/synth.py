@@ -87,6 +87,35 @@ def _gen_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield _gen_batch(pdf["id"].to_numpy(dtype=np.int64))
 
 
+def _phash_batch(ids: np.ndarray) -> pd.DataFrame:
+    """The column-pruned scan analogue: (numeric id, stored phash) WITHOUT
+    materializing bytes. A real Iceberg/parquet scan of this corpus with
+    only the phash column projected never touches the image bytes; the
+    codec loop in _gen_batch is the synthesizer's stand-in for byte IO,
+    so a fingerprint-only consumer must skip it the same way the pruned
+    scan would. Derivation is shared with _gen_batch bit-for-bit
+    (pinned by tests/test_synth_phash_parity)."""
+    size = 16
+    x = np.arange(size, dtype=np.int64)
+    y = np.arange(size, dtype=np.int64)
+    a = (ids % 7 + 1)[:, None, None]
+    b = (ids % 11 + 3)[:, None, None]
+    imgs = ((x[None, None, :] * a + y[None, :, None] * b
+             + ids[:, None, None]) % 256).astype(np.uint8)
+    small = imgs[:, ::2, ::2]
+    n = len(ids)
+    means = small.reshape(n, 64).mean(axis=1, keepdims=True)
+    bits = (small.reshape(n, 64) >= means).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    phash = (bits * weights).sum(axis=1).astype(np.uint64).view(np.int64)
+    return pd.DataFrame({"image_id": ids, "phash": phash})
+
+
+def _phash_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        yield _phash_batch(pdf["id"].to_numpy(dtype=np.int64))
+
+
 def synth_images(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
     """Distributed deterministic corpus of n images."""
     if partitions is None:

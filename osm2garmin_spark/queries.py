@@ -1881,16 +1881,16 @@ def phash_dedup_clusters(spark, sf_dir):
     pHash band-blocked near-pairs over the stored ingest-time fingerprint
     → connected components by min-label propagation → canonical min-id
     survivor. Runs on the 8-byte hash column alone — at corpus scale the
-    image bytes never enter the dedup shuffle."""
-    from .pipeline.synth import _gen_map
+    image bytes never enter the dedup shuffle, and the scan itself is
+    the COLUMN-PRUNED one: the synthesizer's fingerprint-only path
+    (_phash_map) stands in for a parquet/Iceberg scan with only the
+    phash column projected (bytes never decoded, never encoded — the
+    pruning a real reader gets for free)."""
+    from .pipeline.synth import _phash_map
     from .functions.phash import phash_near_pairs
 
     docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
-    images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
-                              "w int, h int, fmt string, caption string, phash long")
-    hashes = images.select(
-        F.regexp_replace("image_id", "^img", "").cast("long").alias("image_id"),
-        "phash")
+    hashes = docs.mapInPandas(_phash_map, schema="image_id long, phash long")
     pairs = phash_near_pairs(hashes, max_hamming=3)
     out = D.dedup_clusters(hashes.select("image_id"), pairs,
                            id_col="image_id", a_col="id_a", b_col="id_b")
@@ -1906,8 +1906,10 @@ def crossmodal_dedup_clusters(spark, sf_dir):
     (union of edge sets → connected components → canonical min-id
     survivor). Composes three oracled operators; the oracle unions both
     modalities' SQL edge CTEs under one recursive reachability closure,
-    so value equality proves the composition, not just the parts."""
-    from .pipeline.synth import _gen_map
+    so value equality proves the composition, not just the parts. The
+    image leg reads the stored fingerprint through the synthesizer's
+    column-pruned path (see phash_dedup_clusters)."""
+    from .pipeline.synth import _phash_map
     from .functions.phash import phash_near_pairs
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -1915,12 +1917,8 @@ def crossmodal_dedup_clusters(spark, sf_dir):
         docs, "doc_id", "text", n=1, num_hashes=16, bands=8).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
 
-    images = docs.select(F.col("doc_id").alias("id")).mapInPandas(
-        _gen_map, schema="image_id string, bytes binary, w int, h int, "
-        "fmt string, caption string, phash long")
-    hashes = images.select(
-        F.regexp_replace("image_id", "^img", "").cast("long")
-        .alias("image_id"), "phash")
+    hashes = docs.select(F.col("doc_id").alias("id")).mapInPandas(
+        _phash_map, schema="image_id long, phash long")
     img_pairs = phash_near_pairs(hashes, max_hamming=3) \
         .select("id_a", "id_b")
 

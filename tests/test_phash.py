@@ -139,3 +139,17 @@ def test_phash128_band_validation(spark):
         [("x", 0, 0)], "image_id string, phash_hi long, phash_lo long")
     with pytest.raises(ValueError):
         phash128_near_pairs(df, max_hamming=6, bands=4)  # recall loss
+
+
+def test_synth_phash_parity():
+    """The column-pruned fingerprint path must equal the full generator's
+    stored phash bit-for-bit (it IS the same derivation, minus bytes)."""
+    import numpy as np
+    from osm2garmin_spark.pipeline.synth import _gen_batch, _phash_batch
+
+    ids = np.arange(0, 700, dtype=np.int64)
+    full = _gen_batch(ids)
+    pruned = _phash_batch(ids)
+    assert list(pruned["phash"]) == list(full["phash"])
+    assert list(pruned["image_id"]) == list(ids)
+    assert list(full["image_id"]) == ["img" + str(i) for i in ids]
