@@ -845,6 +845,56 @@ SELECT way_id, seq, lon_mu, lat_mu FROM p{_SIMPLIFY_PASSES}
 """
 
 
+def range_knn_customers_events(spark, sf_dir):
+    """Radius-bounded kNN (the geofenced variant of the kNN family):
+    each customer's 3 nearest events WITHIN 150 km — the range join's
+    blocked candidates ranked per query point by (distance, id). Unlike
+    plain kNN, queries with no neighbor in range return nothing (the
+    geofence is a hard filter, not an escalation trigger). The oracle
+    ranks the brute-force haversine join with the identical IEEE
+    distance tree."""
+    from .operators.range_join import range_join_within
+
+    par = spark.sparkContext.defaultParallelism
+    cust = _read(spark, sf_dir, "customer").repartition(par).select(
+        F.col("c_custkey"),
+        derived_lat(F.col("c_custkey") + 900000).alias("lat"),
+        derived_lon(F.col("c_custkey") + 900000).alias("lon"))
+    ev = _event_points(spark, sf_dir)
+    pairs = range_join_within(cust.select("c_custkey", "lat", "lon"),
+                              ev.select("event_id", "lat", "lon"),
+                              _RANGE_JOIN_KM, dist_col="dist_km")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("dist_km").asc(), F.col("event_id").asc())
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("c_custkey", "event_id", "rnk"))
+
+
+def _range_knn_sql() -> str:
+    from .operators.range_join import haversine_km_sql
+    hav = haversine_km_sql("c.lat", "c.lon", "e.lat", "e.lon")
+    return f"""
+WITH cust AS (
+  SELECT c_custkey, {derived_lat_sql('(c_custkey + 900000)')} AS lat,
+         {derived_lon_sql('(c_custkey + 900000)')} AS lon
+  FROM customer
+), ev AS ({_EVENT_POINTS_SQL}),
+near AS (
+  SELECT c.c_custkey, e.event_id, {hav} AS dist_km
+  FROM cust c JOIN ev e
+    ON ABS(e.lat - c.lat) <= 2.0 AND {hav} <= {_RANGE_JOIN_KM!r}
+)
+SELECT c_custkey, event_id, rnk FROM (
+  SELECT c_custkey, event_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                 ORDER BY dist_km ASC, event_id ASC)
+              AS INTEGER) AS rnk
+  FROM near)
+WHERE rnk <= 3
+"""
+
+
 _WEBCOVER_ZOOM = 5
 
 
@@ -2479,6 +2529,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_encode": geohash_encode,
         "knn_customers_suppliers": knn_customers_suppliers,
         "range_join_customers_events": range_join_customers_events,
+        "range_knn_customers_events": range_knn_customers_events,
         "knn_stratified_customers_events": knn_stratified_customers_events,
         "knn_hex_customers_events": knn_hex_customers_events,
         "hex_cover_filter": hex_cover_filter,
@@ -2549,6 +2600,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "geohash_encode": _geohash_sql(),
         "knn_customers_suppliers": _KNN_SQL,
         "range_join_customers_events": _range_join_sql(),
+        "range_knn_customers_events": _range_knn_sql(),
         "knn_stratified_customers_events": _KNN_STRAT_SQL,
         "knn_hex_customers_events": _KNN_STRAT_SQL,
         "hex_cover_filter": _HEX_COVER_SQL,

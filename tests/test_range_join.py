@@ -111,3 +111,34 @@ def test_plan_is_hash_equi_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan and "_ix" in plan
+
+def test_radius_bounded_knn_semantics(spark):
+    """Geofenced kNN: per-query ranks are 1..min(k, in-range count) and a
+    query with nothing in range is absent (no escalation)."""
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(3)
+    # one isolated query far from every neighbor
+    alat = np.append(rng.uniform(-20, 20, 30), 60.0)
+    alon = np.append(rng.uniform(-20, 20, 30), 150.0)
+    blat = rng.uniform(-20, 20, 300)
+    blon = rng.uniform(-20, 20, 300)
+    a = _mkdf(spark, range(31), alat, alon, "a_id")
+    b = _mkdf(spark, range(300), blat, blon, "b_id")
+    r = 500.0
+    pairs = range_join_within(a, b, r, max_abs_lat=61.0, dist_col="d")
+    w = Window.partitionBy("a_id").orderBy(F.col("d").asc(), F.col("b_id").asc())
+    out = pairs.withColumn("rnk", F.row_number().over(w)) \
+        .filter(F.col("rnk") <= 3).collect()
+    got = {}
+    for row in out:
+        got.setdefault(row["a_id"], []).append((row["rnk"], row["b_id"], row["d"]))
+    assert 30 not in got                      # isolated query: no rows
+    d = _hav_np(alat[:30, None], alon[:30, None], blat[None, :], blon[None, :])
+    for q, rows in got.items():
+        rows.sort()
+        assert [r_[0] for r_ in rows] == list(range(1, len(rows) + 1))
+        in_range = np.nonzero(d[q] <= r)[0]
+        order = in_range[np.lexsort((in_range, d[q][in_range]))]
+        want = [int(i) for i in order[:3]]
+        assert [r_[1] for r_ in rows] == want, q
