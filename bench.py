@@ -206,7 +206,8 @@ def main():
                 "top3_orders_per_customer", "density_histogram",
                 "tile_assign_fixed", "way_tileset", "knn_customers_suppliers",
                 "knn_stratified_customers_events", "knn_hex_customers_events",
-                "range_join_customers_events", "slippy_encode",
+                "range_join_customers_events", "range_knn_customers_events",
+                "slippy_encode",
                 "tile_webcover", "simplify_event_tracks", "geohash_encode",
                 "s2_cell_encode", "hex_cell_encode", "hex_cover_filter",
                 "hex_compact_cover", "s2_compact_cover",
