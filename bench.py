@@ -209,7 +209,7 @@ def main():
                 "range_join_customers_events", "range_knn_customers_events",
                 "slippy_encode",
                 "tile_webcover", "simplify_event_tracks", "geohash_encode",
-                "s2_cell_encode", "hex_cell_encode", "hex_cover_filter",
+                "s2_cell_encode", "hex_cell_encode", "hex_cover_filter", "geohash_cover_filter",
                 "hex_compact_cover", "s2_compact_cover",
                 "tile_boundary_raster",
                 "pip_hexagon", "pip_partitioned", "pip_region_holes",

@@ -168,3 +168,37 @@ def neighbors_np(gh: str) -> list:
             out.append("".join(ALPHABET[(vv >> (5 * (precision - 1 - k))) & 31]
                                for k in range(precision)))
     return sorted(set(out))
+
+
+# --- rect covering -------------------------------------------------------------
+
+def cover_rect_np(lat_lo: float, lat_hi: float, lon_lo: float, lon_hi: float,
+                  precision: int) -> np.ndarray:
+    """All geohash cells intersecting the bbox — EXACT, not expanded:
+    geohash cells are axis-aligned boxes of the (lat, lon) grid and
+    floor is monotone, so a point with lat in [lat_lo, lat_hi] always
+    lands in an enumerated ilat row (no circumradius argument needed,
+    unlike the hex covering). No antimeridian wrap (lon_lo <= lon_hi
+    required — split the box at 180 first)."""
+    if not (lat_lo <= lat_hi and lon_lo <= lon_hi):
+        raise ValueError("empty or wrapping rect; split at the "
+                         "antimeridian first")
+    h = _check_precision(precision)
+    n = 1 << h
+
+    def axis(lo, hi, offset, span):
+        a = int(np.clip(np.floor((lo + offset) / span * n), 0, n - 1))
+        b = int(np.clip(np.floor((hi + offset) / span * n), 0, n - 1))
+        return np.arange(a, b + 1, dtype=np.int64)
+
+    ilats = axis(lat_lo, lat_hi, 90.0, 180.0)
+    ilons = axis(lon_lo, lon_hi, 180.0, 360.0)
+    la, lo = np.meshgrid(ilats, ilons, indexing="ij")
+    v = ((_spread_np(lo.ravel()) << np.uint64(1))
+         | _spread_np(la.ravel())).astype(np.int64)
+    out = np.full(v.shape, "", dtype=object)
+    for k in range(precision):
+        digit = (v >> (5 * (precision - 1 - k))) & 31
+        out = np.char.add(out.astype(str),
+                          np.array(list(ALPHABET))[digit]).astype(object)
+    return out.astype(str)

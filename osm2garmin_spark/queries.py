@@ -1364,6 +1364,32 @@ WHERE lat BETWEEN {_COVER_RECT[0]} AND {_COVER_RECT[1]}
 """
 
 
+def geohash_cover_filter(spark, sf_dir):
+    """Index-covering selection on the geohash key (the geohash twin of
+    hex_cover_filter, and the denser-cover variant: precision 4 puts
+    ~40k cells in the broadcast list — the realistic partition-pruning
+    cardinality for a geohash-partitioned lakehouse table). The cover is
+    EXACT (axis-aligned cells + monotone floor — no expansion), the fact
+    table joins on its own JVM-computed gh4 key without shuffling, and
+    the bbox residual is provably redundant here but kept for the
+    contract. Oracle = the plain bbox predicate."""
+    from .geo.geohash import cover_rect_np, geohash_col
+
+    lat_lo, lat_hi, lon_lo, lon_hi = _COVER_RECT
+    import pandas as pd
+    cov = cover_rect_np(lat_lo, lat_hi, lon_lo, lon_hi, 4)
+    # Arrow path: 40k strings ship as one columnar batch, not 40k tuples
+    cov_df = spark.createDataFrame(pd.DataFrame({"gh4": cov}))
+    pts = _event_points(spark, sf_dir)
+    keyed = pts.select(
+        "event_id", "lat", "lon",
+        geohash_col(F.col("lat"), F.col("lon"), 4).alias("gh4"))
+    return (keyed.join(F.broadcast(cov_df), ["gh4"], "inner")
+            .filter((F.col("lat") >= lat_lo) & (F.col("lat") <= lat_hi)
+                    & (F.col("lon") >= lon_lo) & (F.col("lon") <= lon_hi))
+            .select("event_id"))
+
+
 def pip_hexagon(spark, sf_dir):
     """point-in-polygon via vectorized ray casting (Region .poly semantics)."""
     pts = _event_points(spark, sf_dir)
@@ -2533,6 +2559,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_stratified_customers_events": knn_stratified_customers_events,
         "knn_hex_customers_events": knn_hex_customers_events,
         "hex_cover_filter": hex_cover_filter,
+        "geohash_cover_filter": geohash_cover_filter,
         "hex_compact_cover": hex_compact_cover,
         "s2_compact_cover": s2_compact_cover,
         "tile_boundary_raster": tile_boundary_raster,
@@ -2604,6 +2631,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "knn_stratified_customers_events": _KNN_STRAT_SQL,
         "knn_hex_customers_events": _KNN_STRAT_SQL,
         "hex_cover_filter": _HEX_COVER_SQL,
+        "geohash_cover_filter": _HEX_COVER_SQL,
         "hex_compact_cover": _hex_compact_sql(),
         "s2_compact_cover": _s2_compact_sql(),
         "tile_boundary_raster": _tile_raster_sql(),

@@ -95,3 +95,28 @@ def test_neighbors_wrap_and_poles():
     # top-row cell: only 5 neighbors (nothing above the pole)
     top = geohash_np(np.array([89.999]), np.array([0.0]), 4)[0]
     assert len(neighbors_np(top)) == 5
+
+
+def test_cover_rect_exact_and_plan_broadcast(spark):
+    from osm2garmin_spark.geo.geohash import cover_rect_np
+    from osm2garmin_spark.queries import geohash_cover_filter
+    import io, contextlib
+
+    # exactness both ways at a coarse precision: inside covered, a point
+    # one full cell outside the rect is NOT covered
+    cov = set(cover_rect_np(10.0, 20.0, -10.0, 10.0, 2))
+    inside = geohash_np(np.array([15.0]), np.array([0.0]), 2)[0]
+    outside = geohash_np(np.array([40.0]), np.array([60.0]), 2)[0]
+    assert inside in cov and outside not in cov
+    with pytest.raises(ValueError, match="antimeridian"):
+        cover_rect_np(0.0, 1.0, 170.0, -170.0, 2)
+
+    df = geohash_cover_filter(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "Broadcast" in line, f"fact-side shuffle leaked: {line}"
