@@ -141,8 +141,19 @@ def range_join_within(a: DataFrame, b: DataFrame, radius_km: float,
     blon = F.col("b_lon") if "lon" in dup else F.col("lon")
 
     joined = ak.join(bren, on=["_ix", "_iy"], how="inner")
+    # exact cheap pre-rejects before the trig: the SAME bounds that sized
+    # the cells (d <= R implies |dlat| <= cell_lat and wrapped |dlon| <=
+    # cell_lon — rigorous, so nothing true is dropped). The 3x3 ring
+    # admits candidates up to ~3 cells apart on each axis; these two
+    # subtract/compare filters cut the haversine evaluations to roughly
+    # the inscribed window (~1/4 of candidates), which matters because
+    # the sin/cos/asin tree is the join's ALU hot spot.
+    dlat_ok = F.abs(blat - F.col("lat")) <= F.lit(cell_lat)
+    dlon_raw = F.abs(blon - F.col("lon"))
+    dlon_ok = F.least(dlon_raw, F.lit(360.0) - dlon_raw) <= F.lit(cell_lon)
     dist = haversine_km(F.col("lat"), F.col("lon"), blat, blon)
-    out = joined.filter(dist <= F.lit(float(radius_km)))
+    out = joined.filter(dlat_ok & dlon_ok
+                        & (dist <= F.lit(float(radius_km))))
     sel = a_cols + b_out
     if dist_col is not None:
         out = out.withColumn(dist_col, dist)

@@ -54,6 +54,21 @@ def main():
     out["rows_query"] = q.count()
     out["rows_neigh"] = n.count()
 
+    # --parquet: materialize once and time the operator READING the
+    # corpus (the production shape — a scan-fed join), instead of paying
+    # the synthetic LCG generator inside the timed region. The generator
+    # is pure ALU on shared memory bandwidth, which scales sublinearly
+    # in one JVM and is not the operator under test.
+    if os.environ.get("RANGE_BENCH_PARQUET"):
+        d = os.environ["RANGE_BENCH_PARQUET"]
+        if not os.path.exists(os.path.join(d, "neigh", "_SUCCESS")):
+            q.write.mode("overwrite").parquet(os.path.join(d, "query"))
+            n.write.mode("overwrite").parquet(os.path.join(d, "neigh"))
+        q.unpersist(); n.unpersist()
+        q = spark.read.parquet(os.path.join(d, "query"))
+        n = spark.read.parquet(os.path.join(d, "neigh"))
+        out["input"] = "parquet"
+
     t0 = time.perf_counter()
     pairs = range_join_within(q, n, r_km, max_abs_lat=cap + 0.1)
     out["pairs"] = pairs.count()
