@@ -110,6 +110,8 @@ def slippy_y_col(lat: Column, zoom: int) -> Column:
 
 def quadkey_col(x: Column, y: Column, zoom: int) -> Column:
     """Quadkey string column from tile-coordinate columns (JVM concat)."""
+    if zoom < 1:
+        raise ValueError(f"quadkey needs zoom >= 1, got {zoom}")
     digits = []
     for bit in range(zoom - 1, -1, -1):
         d = (F.shiftrightunsigned(y, bit) % 2) * 2 + (

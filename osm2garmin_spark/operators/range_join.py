@@ -101,7 +101,9 @@ def range_join_within(a: DataFrame, b: DataFrame, radius_km: float,
     distance when ``dist_col`` names it). The LEFT side is exploded 9x —
     pass the smaller table as ``a``. Input rows with |lat| > max_abs_lat
     violate the blocking bound and raise at plan-build time via a
-    raise_error guard column.
+    raise_error guard column. Rows with NULL/NaN coordinates get NULL
+    cell keys and drop out of the inner join silently — filter or
+    impute upstream if they must be accounted for.
     """
     cell_lat, cell_lon = _cell_sizes_deg(radius_km, max_abs_lat)
     n_x = int(math.ceil(360.0 / cell_lon))

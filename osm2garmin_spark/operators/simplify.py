@@ -37,7 +37,10 @@ from pyspark.sql.window import Window
 def decimate_pass(df: DataFrame, eps2: int, id_col: str = "way_id",
                   seq_col: str = "seq", x_col: str = "lon_mu",
                   y_col: str = "lat_mu") -> DataFrame:
-    """One batched effective-area pass (see module docstring)."""
+    """One batched effective-area pass (see module docstring).
+    ``seq_col`` must be unique within each way — duplicate seq values
+    make the window order (and thus neighbor pairing) nondeterministic.
+    """
     w = Window.partitionBy(id_col).orderBy(seq_col)
     px, py = F.lag(x_col).over(w), F.lag(y_col).over(w)
     nx, ny = F.lead(x_col).over(w), F.lead(y_col).over(w)
