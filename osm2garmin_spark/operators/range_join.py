@@ -22,17 +22,31 @@ Scale design (no cartesian product, ever):
      the documented limit of lat/lon grids — polar data wants the S2
      index, geo/s2.py).
 
-   Any qualifying pair is therefore in the same or an adjacent cell.
+   The longitude ring is UNIFORM: n_x = max(3, floor(360 / cell_lon))
+   cells of width 360/n_x >= cell_lon each, indexed by
+   ix = floor((lon + 180) * n_x / 360) mod n_x. A fixed-width grid with
+   ceil() would leave a narrower residual cell before the antimeridian
+   seam, putting wrapped pairs 2 cells apart (mod n_x) and silently
+   dropping them; uniform widths restore the adjacency invariant around
+   the whole circle. Any qualifying pair is therefore in the same or an
+   adjacent cell.
 2. **3x3 ring explode on the LEFT side only** (9 rows per left point —
    same discipline as operators/knn.py: the big right side keys once
    and shuffles once on the cell key, never explodes).
-3. **Dateline wrap**: the lon cell index is taken modulo the grid width,
-   so cells at lon +179.9 and -179.9 are adjacent; the haversine's
+3. **Dateline wrap**: the lon cell index is taken modulo the ring width,
+   so the last cell and cell 0 are adjacent; the haversine's
    sin(dlon/2) is periodic, so the refine needs no unwrapping.
 4. **Equi-join on (cell_x, cell_y)** — hash-partitioned, AQE-skew-
-   splittable — then the exact haversine predicate as a pure-JVM
-   residual (whole-stage codegen; literal double constants shared with
-   the SQL oracle twin so both engines evaluate the same IEEE tree).
+   splittable — then cheap exact |dlat|/|dlon| pre-rejects and a
+   COMPARISON-ONLY trig residual: per-ROW quantities (half-angle
+   radians, cos lat) are projected onto each side BEFORE the join, so
+   the per-pair work is two sin() calls plus multiply-adds compared
+   against the precomputed constant sin^2(R / 2R_E) — asin/sqrt never
+   run in the join hot path (they are monotone, so the comparison is
+   exact), and the full distance is reconstructed only for survivors
+   and only when ``dist_col`` asks for it. All literal double constants
+   are shared with the SQL oracle twin so both engines evaluate the
+   same IEEE tree.
 """
 
 from __future__ import annotations
@@ -44,6 +58,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 #: mean Earth radius, km (IUGG); shared literal with the SQL twin
 R_EARTH = 6371.0088
 DEG2RAD = 0.017453292519943295
+#: exact in IEEE754 (divide by a power of two)
+HALF_RAD = DEG2RAD / 2.0
 
 
 def _cell_sizes_deg(radius_km: float, max_abs_lat: float):
@@ -69,26 +85,53 @@ def _cell_sizes_deg(radius_km: float, max_abs_lat: float):
     return cell_lat, cell_lon
 
 
+def hav_threshold(radius_km: float) -> float:
+    """sin^2(R / 2R_E): hav(a, b) <= this  <=>  dist(a, b) <= radius_km
+    (asin and sqrt are strictly increasing, so the comparison against
+    the precomputed constant is exactly the distance comparison)."""
+    return math.sin(radius_km / (2.0 * R_EARTH)) ** 2
+
+
+def hav_pair(lath1: Column, lonh1: Column, coslat1: Column,
+             lath2: Column, lonh2: Column, coslat2: Column) -> Column:
+    """Haversine of the central angle from per-row projected quantities
+    (half-angle radians + cos lat): exactly 2 transcendental ops per
+    pair. sin^2 of the half-angle difference is periodic, so wrapped
+    longitudes need no unwrapping."""
+    return (F.pow(F.sin(lath2 - lath1), 2)
+            + coslat1 * coslat2 * F.pow(F.sin(lonh2 - lonh1), 2))
+
+
+def hav_to_km(hav: Column) -> Column:
+    """Reconstruct the great-circle distance (km) from the haversine."""
+    return F.lit(2.0 * R_EARTH) * F.asin(F.sqrt(F.least(hav, F.lit(1.0))))
+
+
+def hav_pair_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """The identical haversine expression tree in ANSI SQL, inlined from
+    degree columns (oracle twin of hav_pair over the projections)."""
+    return (f"(POW(SIN(({lat2} * {HALF_RAD!r}) - ({lat1} * {HALF_RAD!r})), 2)"
+            f" + COS({lat1} * {DEG2RAD!r}) * COS({lat2} * {DEG2RAD!r})"
+            f" * POW(SIN(({lon2} * {HALF_RAD!r}) - ({lon1} * {HALF_RAD!r})), 2))")
+
+
+def hav_to_km_sql(hav: str) -> str:
+    return f"({2.0 * R_EARTH!r} * ASIN(SQRT(LEAST({hav}, 1.0))))"
+
+
 def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
-    """Great-circle distance (km) as a pure-JVM column expression."""
-    p1 = lat1 * F.lit(DEG2RAD)
-    p2 = lat2 * F.lit(DEG2RAD)
-    dp = (lat2 - lat1) * F.lit(DEG2RAD)
-    dl = (lon2 - lon1) * F.lit(DEG2RAD)
-    a = (F.pow(F.sin(dp / F.lit(2.0)), 2)
-         + F.cos(p1) * F.cos(p2) * F.pow(F.sin(dl / F.lit(2.0)), 2))
-    return F.lit(2.0 * R_EARTH) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+    """Great-circle distance (km) as a pure-JVM column expression
+    (hav_pair over inline projections; twin of haversine_km_sql)."""
+    return hav_to_km(hav_pair(
+        lat1 * F.lit(HALF_RAD), lon1 * F.lit(HALF_RAD),
+        F.cos(lat1 * F.lit(DEG2RAD)),
+        lat2 * F.lit(HALF_RAD), lon2 * F.lit(HALF_RAD),
+        F.cos(lat2 * F.lit(DEG2RAD))))
 
 
 def haversine_km_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """The identical expression tree in ANSI SQL (oracle twin)."""
-    p1 = f"({lat1} * {DEG2RAD!r})"
-    p2 = f"({lat2} * {DEG2RAD!r})"
-    dp = f"(({lat2} - {lat1}) * {DEG2RAD!r})"
-    dl = f"(({lon2} - {lon1}) * {DEG2RAD!r})"
-    a = (f"(POW(SIN({dp} / 2.0), 2) + COS({p1}) * COS({p2})"
-         f" * POW(SIN({dl} / 2.0), 2))")
-    return f"({2.0 * R_EARTH!r} * ASIN(SQRT(LEAST({a}, 1.0))))"
+    return hav_to_km_sql(hav_pair_sql(lat1, lon1, lat2, lon2))
 
 
 def range_join_within(a: DataFrame, b: DataFrame, radius_km: float,
@@ -99,26 +142,41 @@ def range_join_within(a: DataFrame, b: DataFrame, radius_km: float,
     ``a`` and ``b`` carry ``lat``/``lon`` double columns (degrees) plus
     any payload columns; output = a's columns + b's columns (+ the
     distance when ``dist_col`` names it). The LEFT side is exploded 9x —
-    pass the smaller table as ``a``. Input rows with |lat| > max_abs_lat
-    violate the blocking bound and raise at plan-build time via a
-    raise_error guard column. Rows with NULL/NaN coordinates get NULL
-    cell keys and drop out of the inner join silently — filter or
-    impute upstream if they must be accounted for.
+    pass the smaller table as ``a``. Input rows with finite
+    |lat| > max_abs_lat violate the blocking bound and raise at
+    plan-build time via a raise_error guard column. Rows with NULL or
+    NaN coordinates get NULL cell keys and drop out of the inner join
+    silently (NaN is excluded from the guard — Spark orders NaN above
+    every double, so an unguarded abs(NaN) > cap would raise) — filter
+    or impute upstream if such rows must be accounted for.
     """
     cell_lat, cell_lon = _cell_sizes_deg(radius_km, max_abs_lat)
-    n_x = int(math.ceil(360.0 / cell_lon))
+    # uniform ring: every cell 360/n_x >= cell_lon wide (see module
+    # docstring — ceil() would leave a narrow seam cell and drop
+    # antimeridian pairs)
+    n_x = max(3, int(math.floor(360.0 / cell_lon)))
+    hav_t = hav_threshold(radius_km)
 
     def keyed(df: DataFrame, side: str) -> DataFrame:
+        lat, lon = F.col("lat"), F.col("lon")
+        finite = ~(F.isnan(lat) | F.isnan(lon))
         guard = F.when(
-            F.abs(F.col("lat")) > F.lit(max_abs_lat),
+            finite & (F.abs(lat) > F.lit(max_abs_lat)),
             F.raise_error(F.lit(
                 f"{side}.lat exceeds max_abs_lat={max_abs_lat}; raise the "
                 f"cap or block on geo/s2.py cells"))).otherwise(F.lit(0))
-        ix = F.floor((F.col("lon") + F.lit(180.0)) / F.lit(cell_lon))
-        iy = F.floor((F.col("lat") + F.lit(90.0)) / F.lit(cell_lat))
-        return df.withColumn("_g", guard) \
-                 .withColumn("_ix", F.pmod(ix + F.col("_g"), F.lit(n_x))) \
-                 .withColumn("_iy", iy.cast("long")).drop("_g")
+        ix = F.floor((lon + F.lit(180.0)) * F.lit(float(n_x)) / F.lit(360.0))
+        iy = F.floor((lat + F.lit(90.0)) / F.lit(cell_lat))
+        return (df
+                .withColumn("_g", guard)
+                .withColumn("_ix", F.when(finite, F.pmod(
+                    ix + F.col("_g"), F.lit(n_x))))
+                .withColumn("_iy", F.when(finite, iy.cast("long")))
+                # per-ROW trig, projected once before the join
+                .withColumn("_lath", lat * F.lit(HALF_RAD))
+                .withColumn("_lonh", lon * F.lit(HALF_RAD))
+                .withColumn("_clat", F.cos(lat * F.lit(DEG2RAD)))
+                .drop("_g"))
 
     ak = keyed(a, "a")
     bk = keyed(b, "b")
@@ -133,9 +191,10 @@ def range_join_within(a: DataFrame, b: DataFrame, radius_km: float,
 
     a_cols = [c for c in a.columns]
     b_cols = [c for c in b.columns]
+    helpers = ["_lath", "_lonh", "_clat"]
     dup = set(a_cols) & set(b_cols)
     bren = bk
-    for c in dup:
+    for c in list(dup) + helpers:
         bren = bren.withColumnRenamed(c, f"b_{c}")
     b_out = [f"b_{c}" if c in dup else c for c in b_cols]
 
@@ -147,17 +206,18 @@ def range_join_within(a: DataFrame, b: DataFrame, radius_km: float,
     # the cells (d <= R implies |dlat| <= cell_lat and wrapped |dlon| <=
     # cell_lon — rigorous, so nothing true is dropped). The 3x3 ring
     # admits candidates up to ~3 cells apart on each axis; these two
-    # subtract/compare filters cut the haversine evaluations to roughly
-    # the inscribed window (~1/4 of candidates), which matters because
-    # the sin/cos/asin tree is the join's ALU hot spot.
+    # subtract/compare filters cut the trig evaluations to roughly the
+    # inscribed window (~1/4 of candidates).
     dlat_ok = F.abs(blat - F.col("lat")) <= F.lit(cell_lat)
     dlon_raw = F.abs(blon - F.col("lon"))
     dlon_ok = F.least(dlon_raw, F.lit(360.0) - dlon_raw) <= F.lit(cell_lon)
-    dist = haversine_km(F.col("lat"), F.col("lon"), blat, blon)
-    out = joined.filter(dlat_ok & dlon_ok
-                        & (dist <= F.lit(float(radius_km))))
+    # comparison-only residual: 2 sines per pair vs the precomputed
+    # constant; asin/sqrt only for survivors (and only if requested)
+    hav = hav_pair(F.col("_lath"), F.col("_lonh"), F.col("_clat"),
+                   F.col("b__lath"), F.col("b__lonh"), F.col("b__clat"))
+    out = joined.filter(dlat_ok & dlon_ok & (hav <= F.lit(hav_t)))
     sel = a_cols + b_out
     if dist_col is not None:
-        out = out.withColumn(dist_col, dist)
+        out = out.withColumn(dist_col, hav_to_km(hav))
         sel = sel + [dist_col]
     return out.select(*sel)

@@ -71,6 +71,52 @@ def test_dateline_pairs_found(spark):
     assert [(r["a_id"], r["b_id"]) for r in got] == [(0, 0)]
 
 
+def test_dateline_residual_cell_regression(spark):
+    """ADVICE r5 repro: with ceil()-sized fixed-width cells the residual
+    cell before the seam was narrower than cell_lon, so (10, 179.737)
+    and (10, -179.99) — 20.2 km apart at radius 50 — landed 2 cells
+    apart (mod n_x) and were dropped. The uniform ring (floor + scaled
+    index) must find the pair."""
+    a = _mkdf(spark, [0], [10.0], [179.737], "a_id")
+    b = _mkdf(spark, [0], [10.0], [-179.99], "b_id")
+    got = range_join_within(a, b, 50.0, max_abs_lat=20.0).collect()
+    assert [(r["a_id"], r["b_id"]) for r in got] == [(0, 0)]
+
+
+def test_dateline_seam_sweep_matches_brute_force(spark):
+    """Property sweep across the seam: points packed into the last few
+    degrees on both sides of +-180 at several radii (several ring
+    widths) — pair sets must equal the numpy brute force exactly."""
+    rng = np.random.default_rng(23)
+    n = 120
+    lat = rng.uniform(5.0, 15.0, n)
+    lon = np.where(rng.random(n) < 0.5,
+                   rng.uniform(176.0, 180.0, n),
+                   rng.uniform(-180.0, -176.0, n))
+    a = _mkdf(spark, range(n), lat, lon, "a_id")
+    b = _mkdf(spark, range(n), lat, lon, "b_id")
+    for r in (25.0, 50.0, 150.0, 400.0):
+        got = sorted((x["a_id"], x["b_id"]) for x in
+                     range_join_within(a, b, r, max_abs_lat=20.0).collect())
+        d = _hav_np(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+        want = sorted((int(i), int(j)) for i, j in zip(*np.nonzero(d <= r)))
+        assert got == want, r
+
+
+def test_nan_rows_drop_out_silently(spark):
+    """ADVICE r5: Spark orders NaN above every double, so an unguarded
+    abs(NaN) > cap fired the raise_error guard and killed the job. NaN
+    coordinates must instead get NULL keys and vanish from the inner
+    join, exactly like NULLs; finite out-of-cap rows must still raise."""
+    a = _mkdf(spark, [0, 1], [10.0, float("nan")], [10.0, 10.0], "a_id")
+    b = _mkdf(spark, [0, 1], [10.1, 10.1], [10.1, float("nan")], "b_id")
+    got = range_join_within(a, b, 50.0, max_abs_lat=20.0).collect()
+    assert [(r["a_id"], r["b_id"]) for r in got] == [(0, 0)]
+    bad = _mkdf(spark, [0], [89.0], [0.0], "a_id")
+    with pytest.raises(Exception, match="max_abs_lat"):
+        range_join_within(bad, b, 50.0, max_abs_lat=20.0).collect()
+
+
 def test_distance_column_and_no_duplicates(spark):
     rng = np.random.default_rng(5)
     n = 120
