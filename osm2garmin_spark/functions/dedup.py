@@ -179,7 +179,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    a_col: str = "doc_a", b_col: str = "doc_b",
-                   max_iters: int = 50, stats: dict = None) -> DataFrame:
+                   max_iters: int = 50, stats: dict = None,
+                   method: str = "star") -> DataFrame:
     """Connected-component cluster resolution over a near-dup pair graph:
     (id, cluster_id) where cluster_id = the minimum id in the component —
     the canonical-survivor rule of a training-data dedup pass ("keep one
@@ -187,25 +188,117 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     ``ids`` supplies the vertex universe, so documents with no pair come
     back as their own singleton cluster.
 
-    Algorithm: iterative min-label propagation. Each round every vertex
-    takes the min of its own label and its neighbors' labels; each
-    round's join also emits a 0/1 did-this-row-improve flag whose 1-row
-    sum (bounded by the row count — safe for 64-bit hash/snowflake ids
-    under ANSI arithmetic, where summing the labels themselves would
-    overflow) drives the stop condition: zero improvements = fixpoint.
-    Rounds needed = the component diameter, which for near-dup clusters
-    (dense cliques from banded LSH buckets) is tiny; max_iters is a
-    divergence guard, not a tuning knob, and non-convergence raises
-    instead of returning wrong labels. ``stats``: optional dict filled
-    with {"rounds": n} on return (bench instrumentation — rounds-to-
-    fixpoint is the scale-relevant number).
+    Two methods, bit-identical results (pytest pins parity):
 
-    100 TB shape: edges are iteration-invariant — pre-partitioned by src
-    ONCE (localCheckpoint pins the layout), so each round is one shuffle
-    of the (id, label) table against co-located edges plus a map-side
-    partial min; per-round cost is O(|E|/cores) with no growth across
-    rounds (each round's plan starts from the previous checkpoint, the
-    standard iterative-algorithm discipline used by knn_grid)."""
+    - ``method="star"`` (default): alternating large-star / small-star
+      rounds (Kiveris et al., "Connected Components in MapReduce and
+      Beyond", SoCC'14 — public algorithm). Each alternation rewires
+      edges toward component minima; the edge set converges to disjoint
+      stars centered at each component's minimum id in O(log^2 n) rounds
+      (O(log d) in practice), vs the O(diameter) rounds of label
+      propagation — the win for chain-shaped components that banded-LSH
+      transitivity produces at corpus scale.
+    - ``method="minlabel"``: iterative min-label propagation (each round
+      every vertex takes the min of its own and its neighbors' labels;
+      rounds = component diameter). Kept as the parity twin and for
+      graphs known to be dense cliques where one round suffices.
+
+    ``max_iters`` is a divergence guard, not a tuning knob, and
+    non-convergence raises instead of returning wrong labels. ``stats``:
+    optional dict filled with {"rounds": n, "method": m} on return
+    (bench instrumentation — rounds-to-fixpoint is the scale-relevant
+    number).
+
+    100 TB shape (both methods): per-round cost is O(|E|/cores) with no
+    growth across rounds — every round's plan starts from the previous
+    localCheckpoint (the standard iterative-algorithm discipline used
+    by knn_grid). Star rounds additionally SHRINK |E| monotonically
+    toward one edge per non-min vertex, so late rounds are cheaper than
+    early ones; the convergence probe is a left-anti join on the edge
+    key both sides are already hashed on.
+    """
+    if stats is not None:
+        stats["method"] = method
+    if method == "star":
+        return _clusters_star(ids, pairs, id_col, a_col, b_col,
+                              max_iters, stats)
+    if method == "minlabel":
+        return _clusters_minlabel(ids, pairs, id_col, a_col, b_col,
+                                  max_iters, stats)
+    raise ValueError(f"unknown method {method!r} (star | minlabel)")
+
+
+def _clusters_star(ids, pairs, id_col, a_col, b_col, max_iters, stats):
+    """Large-star/small-star alternation (SoCC'14). Edge state is the
+    canonical (hi > lo) distinct pair set; fixpoint = the alternation
+    returns the same set, at which point the edges form disjoint stars
+    (hi = member, lo = component minimum)."""
+    hi, lo = F.greatest(F.col(a_col), F.col(b_col)), \
+        F.least(F.col(a_col), F.col(b_col))
+    E = (pairs.select(hi.alias("hi"), lo.alias("lo"))
+         .filter(F.col("hi") != F.col("lo"))
+         .repartition("hi", "lo").distinct().localCheckpoint())
+
+    def canon(x, y):
+        return [F.greatest(x, y).alias("hi"), F.least(x, y).alias("lo")]
+
+    it = 0
+    while not E.isEmpty():
+        it += 1
+        if it > max_iters:
+            raise RuntimeError(
+                f"dedup_clusters: no fixpoint after {max_iters} star "
+                "rounds")
+        # large-star: u's star minimum m = min(u, neighbors); every
+        # STRICTLY LARGER neighbor v re-wires to (v, m)
+        sym = (E.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+               .unionByName(
+                   E.select(F.col("lo").alias("u"), F.col("hi").alias("v"))))
+        mins = (sym.groupBy("u")
+                .agg(F.min("v").alias("_mn"))
+                .select("u", F.least(F.col("_mn"), F.col("u")).alias("m")))
+        large = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .filter(F.col("v") != F.col("m"))
+                 .select(*canon(F.col("v"), F.col("m"))))
+        E1 = large.repartition("hi", "lo").distinct().localCheckpoint()
+        # small-star: canonical edges already point larger -> smaller, so
+        # Γ(u) here is exactly u's smaller neighbors; all of them plus u
+        # re-wire to m = min(Γ(u))
+        mins2 = E1.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (E1.join(mins2, "hi")
+                 .filter(F.col("lo") != F.col("m"))
+                 .select(*canon(F.col("lo"), F.col("m")))
+                 .unionByName(mins2.select(F.col("hi").alias("hi"),
+                                           F.col("m").alias("lo"))))
+        E2 = small.repartition("hi", "lo").distinct().localCheckpoint()
+        # fixpoint probe: one anti-join each way on the already-hashed key
+        if (E2.join(E, ["hi", "lo"], "left_anti").isEmpty()
+                and E.join(E2, ["hi", "lo"], "left_anti").isEmpty()):
+            E = E2
+            break
+        E = E2
+    if stats is not None:
+        stats["rounds"] = it
+    members = E.select(F.col("hi").alias("v"), F.col("lo").alias("lbl"))
+    centers = E.select(F.col("lo").alias("v"),
+                       F.col("lo").alias("lbl")).distinct()
+    labeled = members.unionByName(centers)
+    univ = ids.select(F.col(id_col).alias("v"))
+    single = (univ.join(labeled.select("v"), "v", "left_anti")
+              .select("v", F.col("v").alias("lbl")))
+    return (labeled.unionByName(single)
+            .select(F.col("v").alias(id_col), F.col("lbl").alias("cluster_id")))
+
+
+def _clusters_minlabel(ids, pairs, id_col, a_col, b_col, max_iters, stats):
+    """Min-label propagation; rounds = component diameter. The per-round
+    improvement counter is a 0/1 sum (bounded by the row count — safe for
+    64-bit hash/snowflake ids under ANSI arithmetic, where summing the
+    labels themselves would overflow). Edges are iteration-invariant —
+    pre-partitioned by src ONCE (localCheckpoint pins the layout), so
+    each round is one shuffle of the (id, label) table against
+    co-located edges plus a map-side partial min."""
     edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
              .unionByName(
                  pairs.select(F.col(b_col).alias("src"),

@@ -292,6 +292,56 @@ def test_dedup_clusters_matches_union_find(spark):
                          spark.createDataFrame(pairs))
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == want
+    # both methods must agree bit-for-bit with the oracle (and thus with
+    # each other) on the same graph
+    got_ml = {r["doc_id"]: r["cluster_id"] for r in
+              dedup_clusters(spark.createDataFrame(ids),
+                             spark.createDataFrame(pairs),
+                             method="minlabel").collect()}
+    assert got_ml == want
+
+
+def test_dedup_clusters_star_beats_diameter_rounds(spark):
+    """The SoCC'14 large-star/small-star alternation must converge in
+    O(log d) rounds where min-label propagation needs O(d): on a 64-node
+    path graph (diameter 63) minlabel takes ~32 rounds, star must finish
+    in <= 8 alternations — with identical labels."""
+    from osm2garmin_spark.functions.dedup import dedup_clusters
+
+    ids = spark.range(0, 64).selectExpr("id AS doc_id")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long")
+    s_star, s_ml = {}, {}
+    out_star = dedup_clusters(ids, pairs, stats=s_star, method="star")
+    out_ml = dedup_clusters(ids, pairs, stats=s_ml, method="minlabel",
+                            max_iters=100)
+    rows_star = {r["doc_id"]: r["cluster_id"] for r in out_star.collect()}
+    rows_ml = {r["doc_id"]: r["cluster_id"] for r in out_ml.collect()}
+    assert rows_star == rows_ml == {i: 0 for i in range(64)}
+    assert s_ml["rounds"] >= 16
+    assert s_star["rounds"] <= 8, s_star
+    assert s_star["rounds"] < s_ml["rounds"]
+
+
+def test_dedup_clusters_star_edge_cases(spark):
+    """Star method: empty edge set (all singletons), duplicate and
+    reversed input pairs, and a component whose min id only ever appears
+    on the doc_b side."""
+    from osm2garmin_spark.functions.dedup import dedup_clusters
+
+    ids = spark.range(0, 8).selectExpr("id AS doc_id")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = dedup_clusters(ids, empty, method="star")
+    assert {r["doc_id"]: r["cluster_id"] for r in out.collect()} == \
+        {i: i for i in range(8)}
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 5), (5, 3), (7, 0), (4, 7)],
+        "doc_a long, doc_b long")
+    out = dedup_clusters(ids, pairs, method="star")
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 0, 5: 3, 6: 6, 7: 0}
+    # exactly one row per id (fixpoint stars are disjoint)
+    assert out.count() == 8
 
 
 def test_dedup_clusters_64bit_ids_no_overflow(spark):

@@ -263,7 +263,7 @@ def test_dedup_clusters_final_plan_is_truncated(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "doc_a long, doc_b long")
     stats: dict = {}
-    out = dedup_clusters(ids, pairs, stats=stats)
+    out = dedup_clusters(ids, pairs, stats=stats, method="minlabel")
     assert stats["rounds"] >= 4
     plan = _plan(out)
     assert "Join" not in plan, plan
@@ -271,6 +271,17 @@ def test_dedup_clusters_final_plan_is_truncated(spark):
     # and it converged to one component labeled by the min id
     rows = out.collect()
     assert {r["cluster_id"] for r in rows} == {0}
+    # star method: the returned plan reads the CHECKPOINTED star edge
+    # set (constant depth — none of the per-round joins leak into it);
+    # the only join is the one bounded singleton anti-join against the
+    # id universe, regardless of how many alternations ran
+    import re
+    s2: dict = {}
+    out2 = dedup_clusters(ids, pairs, stats=s2, method="star")
+    plan2 = _plan(out2)
+    assert len(re.findall(r"\) [A-Za-z]*Join", plan2)) == 1, plan2
+    assert "Scan ExistingRDD" in plan2 or "LocalTableScan" in plan2, plan2
+    assert {r["cluster_id"] for r in out2.collect()} == {0}
 
 
 def test_distributed_split_jobs_per_level_bounded(spark):

@@ -10,6 +10,12 @@ docs; this bench pins its SCALE shape: the candidate join is banded
 buckets (never all-pairs), edges repartition exactly once and each label
 round starts from a checkpoint (no plan growth across rounds).
 
+Round 6: times BOTH cluster-resolution methods on the same
+checkpointed candidate pairs — the SoCC'14 large-star/small-star
+alternation (O(log d) rounds, the new default) and min-label
+propagation (O(diameter) rounds) — and asserts their labels identical
+before printing per-method wall + rounds.
+
 Usage: python tools/bench_dedup_corpus.py [n_docs] [cores]
 """
 
@@ -42,12 +48,24 @@ def main():
 
     stats: dict = {}
     t1 = time.perf_counter()
-    clusters = dedup_clusters(docs.select("doc_id"), pairs, stats=stats)
+    clusters = dedup_clusters(docs.select("doc_id"), pairs, stats=stats,
+                              method="star")
     from pyspark.sql import functions as F
 
     sizes = (clusters.groupBy("cluster_id").count()
              .groupBy("count").count().collect())
     wall_clusters = time.perf_counter() - t1
+
+    stats_ml: dict = {}
+    t2 = time.perf_counter()
+    clusters_ml = dedup_clusters(docs.select("doc_id"), pairs,
+                                 stats=stats_ml, method="minlabel")
+    diverged = (clusters.withColumnRenamed("cluster_id", "c_star")
+                .join(clusters_ml.withColumnRenamed("cluster_id", "c_ml"),
+                      "doc_id")
+                .filter(F.col("c_star") != F.col("c_ml")).count())
+    wall_ml = time.perf_counter() - t2
+    assert diverged == 0, f"{diverged} labels diverged between methods"
     by_size = {int(r["count"]): int(r["count(1)"])
                if "count(1)" in r.asDict() else int(r[1]) for r in sizes}
 
@@ -66,6 +84,9 @@ def main():
         "docs_per_sec_pairs_stage": round(n / wall_pairs, 1),
         "wall_clusters_sec": round(wall_clusters, 2),
         "rounds_to_fixpoint": stats.get("rounds"),
+        "wall_clusters_minlabel_sec": round(wall_ml, 2),
+        "rounds_minlabel": stats_ml.get("rounds"),
+        "labels_identical": True,
         "cluster_size_histogram": {str(k): v for k, v in sorted(by_size.items())},
         "planted_triples": n_blocks,
         "recovered_triples": full_triples,
