@@ -66,6 +66,10 @@ def slippy_xy_np(lat: np.ndarray, lon: np.ndarray, zoom: int):
 
 def quadkey_np(x: np.ndarray, y: np.ndarray, zoom: int) -> np.ndarray:
     """Quadkey strings (length ``zoom``) from tile coordinates."""
+    if zoom < 1:
+        # same contract as quadkey_col/quadkey_sql: zoom 0 has a single
+        # tile and a zero-length key — an input error, not a value
+        raise ValueError(f"quadkey needs zoom >= 1, got {zoom}")
     x = np.asarray(x, np.int64)
     y = np.asarray(y, np.int64)
     out = np.full(x.shape, "", dtype=object)
@@ -138,6 +142,10 @@ def slippy_y_sql(lat_expr: str, zoom: int) -> str:
 
 
 def quadkey_sql(x_expr: str, y_expr: str, zoom: int) -> str:
+    if zoom < 1:
+        # twin of quadkey_col's guard — zoom 0 would render an empty
+        # ' || ' join, i.e. invalid SQL, instead of failing loudly
+        raise ValueError(f"quadkey needs zoom >= 1, got {zoom}")
     digits = []
     for bit in range(zoom - 1, -1, -1):
         digits.append(

@@ -152,3 +152,20 @@ def test_tile_webcover_bridge_invariant(spark):
             assert (t.map_id, int(xi), int(yi)) in cover
             checked += 1
     assert checked > 800
+
+
+def test_quadkey_zoom0_fails_identically_in_all_twins():
+    """ADVICE r5 low: quadkey_col raised for zoom < 1 while quadkey_sql
+    rendered invalid SQL ('' join of zero digits) and quadkey_np
+    silently returned empty strings. All three twins must now fail the
+    same way."""
+    import pytest
+    from pyspark.sql import functions as F
+    from osm2garmin_spark.geo.webmercator import (
+        quadkey_col, quadkey_np, quadkey_sql)
+
+    for fn, args in ((quadkey_col, (F.lit(0), F.lit(0), 0)),
+                     (quadkey_sql, ("x", "y", 0)),
+                     (quadkey_np, (np.array([0]), np.array([0]), 0))):
+        with pytest.raises(ValueError, match="zoom >= 1"):
+            fn(*args)
