@@ -358,6 +358,41 @@ def s2_cell_udf(level: int):
     return _s2
 
 
+def s2_ring_udf(level: int):
+    """Arrow-vectorized (lat, lon) -> array of the <=13 distinct level-L
+    cells {c} U EN(c) U EN(EN(c)) — a strict superset of c's
+    8-neighborhood (the straight distance-2 cells come along; vertex
+    neighbors at cube-face corners, where a cell has only 3, are
+    covered without corner-case geometry). The blocking key set of the
+    S2-blocked range join (operators/range_join.py). NULL/NaN
+    coordinates -> NULL (the row drops out of an inner join).
+
+    Lives here rather than in range_join.py because postponed
+    annotations there would strip ``pd`` from the hint's resolution
+    scope (see s2_cell_udf)."""
+    from pyspark.sql import functions as F
+
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
+
+    @F.pandas_udf("array<long>")
+    def _ring(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        ok = np.atleast_1d(np.isfinite(la) & np.isfinite(lo))
+        c = np.atleast_1d(cell_id_from_latlng(
+            np.where(ok, la, 0.0), np.where(ok, lo, 0.0), level))
+        en = edge_neighbors(c)                       # (n, 4)
+        mats = [c.reshape(-1, 1), en]
+        mats += [edge_neighbors(en[:, k]) for k in range(4)]
+        cells = np.concatenate(mats, axis=1)         # (n, 21) with dups
+        out = [list(dict.fromkeys(row.tolist())) if okk else None
+               for row, okk in zip(cells, ok)]
+        return pd.Series(out, dtype=object)
+
+    return _ring
+
+
 # --- generated SQL (oracle twin) ---------------------------------------------
 
 def s2_sql_ctes(src_cte: str, id_col: str, lat_expr: str, lon_expr: str,

@@ -134,22 +134,76 @@ def haversine_km_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     return hav_to_km_sql(hav_pair_sql(lat1, lon1, lat2, lon2))
 
 
+#: s2geometry kMinWidth derivative for the quadratic projection
+#: (s2metrics.cc, public): the MINIMUM width of any level-L cell is
+#: (2*sqrt(2)/3) * 2^-L radians — the worst case over all faces, so the
+#: adjacency argument below needs no distortion slack.
+S2_MIN_WIDTH_DERIV = 2.0 * math.sqrt(2.0) / 3.0
+
+
+def _s2_level_for_radius(radius_km: float) -> int:
+    """Finest S2 level whose minimum cell width >= the radius: two
+    points within radius_km then cannot have a full cell between them,
+    so their level-L cells are 8-neighborhood-adjacent (the blocked
+    join enumerates a strict superset of that neighborhood)."""
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be > 0, got {radius_km}")
+    r_rad = radius_km / R_EARTH
+    if r_rad > S2_MIN_WIDTH_DERIV:
+        raise ValueError(
+            f"radius {radius_km} km exceeds the level-0 S2 cell width "
+            f"(~{S2_MIN_WIDTH_DERIV * R_EARTH:.0f} km): an all-pairs "
+            "join is the honest plan at that radius")
+    return min(30, int(math.floor(math.log2(S2_MIN_WIDTH_DERIV / r_rad))))
+
+
 def range_join_within(a: DataFrame, b: DataFrame, radius_km: float,
                       max_abs_lat: float = 85.1,
-                      dist_col: str | None = None) -> DataFrame:
+                      dist_col: str | None = None,
+                      strategy: str = "auto") -> DataFrame:
     """All (a, b) pairs with haversine distance <= radius_km.
 
     ``a`` and ``b`` carry ``lat``/``lon`` double columns (degrees) plus
     any payload columns; output = a's columns + b's columns (+ the
-    distance when ``dist_col`` names it). The LEFT side is exploded 9x —
-    pass the smaller table as ``a``. Input rows with finite
-    |lat| > max_abs_lat violate the blocking bound and raise at
-    plan-build time via a raise_error guard column. Rows with NULL or
-    NaN coordinates get NULL cell keys and drop out of the inner join
-    silently (NaN is excluded from the guard — Spark orders NaN above
-    every double, so an unguarded abs(NaN) > cap would raise) — filter
-    or impute upstream if such rows must be accounted for.
+    distance when ``dist_col`` names it). The LEFT side is exploded
+    (9x grid ring / <=13 S2 cells) — pass the smaller table as ``a``.
+    Rows with NULL or NaN coordinates get NULL cell keys and drop out
+    of the inner join silently (NaN is excluded from the grid guard —
+    Spark orders NaN above every double, so an unguarded
+    abs(NaN) > cap would raise) — filter or impute upstream if such
+    rows must be accounted for.
+
+    ``strategy``:
+
+    - ``"grid"`` — lat/lon grid blocking (module docstring). Finite
+      rows with |lat| > max_abs_lat violate the blocking bound and
+      raise at plan-build time via a raise_error guard column.
+    - ``"s2"`` — S2-cell blocking (``geo/s2.py``): total over the whole
+      sphere including the poles; no lat guard. Both sides key to
+      their level-L cell where L is the finest level whose MINIMUM
+      cell width >= radius (s2 kMinWidth metric), so qualifying pairs
+      are always in 8-neighborhood-adjacent cells; the left side
+      explodes onto the <=13-cell superset {cell} U edge-neighbors U
+      their edge-neighbors (straight distance-2 included — covers the
+      vertex neighbors without corner-case geometry at cube-face
+      corners, where cells have only 3 vertex neighbors).
+    - ``"auto"`` (default) — grid when the lon blocking is
+      non-degenerate at max_abs_lat, else s2 (polar caps,
+      max_abs_lat >= 90, or radius spanning all longitudes at the
+      cap).
     """
+    if strategy not in ("auto", "grid", "s2"):
+        raise ValueError(f"unknown strategy {strategy!r} (auto|grid|s2)")
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be > 0, got {radius_km}")
+    if strategy == "auto":
+        try:
+            _cell_sizes_deg(radius_km, max_abs_lat)
+            strategy = "grid"
+        except ValueError:
+            strategy = "s2"
+    if strategy == "s2":
+        return _range_join_s2(a, b, radius_km, dist_col)
     cell_lat, cell_lon = _cell_sizes_deg(radius_km, max_abs_lat)
     # uniform ring: every cell 360/n_x >= cell_lon wide (see module
     # docstring — ceil() would leave a narrow seam cell and drop
@@ -216,6 +270,53 @@ def range_join_within(a: DataFrame, b: DataFrame, radius_km: float,
     hav = hav_pair(F.col("_lath"), F.col("_lonh"), F.col("_clat"),
                    F.col("b__lath"), F.col("b__lonh"), F.col("b__clat"))
     out = joined.filter(dlat_ok & dlon_ok & (hav <= F.lit(hav_t)))
+    sel = a_cols + b_out
+    if dist_col is not None:
+        out = out.withColumn(dist_col, hav_to_km(hav))
+        sel = sel + [dist_col]
+    return out.select(*sel)
+
+
+def _range_join_s2(a: DataFrame, b: DataFrame, radius_km: float,
+                   dist_col: str | None) -> DataFrame:
+    """S2-blocked variant: total over the sphere (poles included). Left
+    side explodes onto its <=13-cell blocking superset; right side keys
+    once to its level-L cell (geo/s2.py s2_cell_udf — NULL on NaN);
+    equi-join on the cell id, then the same |dlat| pre-reject and
+    comparison-only haversine residual as the grid path (the lon
+    pre-reject is meaningless near the poles and is skipped)."""
+    from ..geo.s2 import s2_cell_udf, s2_ring_udf
+
+    level = _s2_level_for_radius(radius_km)
+    cell_lat = math.degrees(radius_km / R_EARTH)
+    hav_t = hav_threshold(radius_km)
+
+    def project(df: DataFrame) -> DataFrame:
+        lat, lon = F.col("lat"), F.col("lon")
+        return (df.withColumn("_lath", lat * F.lit(HALF_RAD))
+                  .withColumn("_lonh", lon * F.lit(HALF_RAD))
+                  .withColumn("_clat", F.cos(lat * F.lit(DEG2RAD))))
+
+    ak = project(a).withColumn(
+        "_cell", F.explode(s2_ring_udf(level)(F.col("lat"), F.col("lon"))))
+    bk = project(b).withColumn(
+        "_cell", s2_cell_udf(level)(F.col("lat"), F.col("lon")))
+
+    a_cols = list(a.columns)
+    b_cols = list(b.columns)
+    helpers = ["_lath", "_lonh", "_clat"]
+    dup = set(a_cols) & set(b_cols)
+    bren = bk
+    for c in list(dup) + helpers:
+        bren = bren.withColumnRenamed(c, f"b_{c}")
+    b_out = [f"b_{c}" if c in dup else c for c in b_cols]
+    blat = F.col("b_lat") if "lat" in dup else F.col("lat")
+
+    joined = ak.join(bren, on="_cell", how="inner")
+    dlat_ok = F.abs(blat - F.col("lat")) <= F.lit(cell_lat)
+    hav = hav_pair(F.col("_lath"), F.col("_lonh"), F.col("_clat"),
+                   F.col("b__lath"), F.col("b__lonh"), F.col("b__clat"))
+    out = joined.filter(dlat_ok & (hav <= F.lit(hav_t)))
     sel = a_cols + b_out
     if dist_col is not None:
         out = out.withColumn(dist_col, hav_to_km(hav))

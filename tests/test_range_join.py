@@ -188,3 +188,81 @@ def test_radius_bounded_knn_semantics(spark):
         order = in_range[np.lexsort((in_range, d[q][in_range]))]
         want = [int(i) for i in order[:3]]
         assert [r_[1] for r_ in rows] == want, q
+
+
+def test_s2_strategy_polar_matches_brute_force(spark):
+    """VERDICT r5 #5: the S2-blocked variant must be TOTAL over the
+    sphere — pairs at lat 88-90 (where lat/lon grids degenerate) must
+    match the numpy brute force exactly."""
+    rng = np.random.default_rng(41)
+    n = 150
+    lat = rng.uniform(84.0, 90.0, n)
+    lon = rng.uniform(-180.0, 180.0, n)
+    # a few exact-pole and near-pole points exercise the face-2 cap
+    lat[:3] = [90.0, 89.999, 88.0]
+    a = _mkdf(spark, range(n), lat, lon, "a_id")
+    b = _mkdf(spark, range(n), lat, lon, "b_id")
+    for r in (40.0, 150.0):
+        got = sorted((x["a_id"], x["b_id"]) for x in range_join_within(
+            a, b, r, max_abs_lat=90.0, strategy="s2").collect())
+        d = _hav_np(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+        want = sorted((int(i), int(j)) for i, j in zip(*np.nonzero(d <= r)))
+        assert got == want, r
+
+
+def test_s2_strategy_global_matches_brute_force(spark):
+    """S2 blocking must also be exact away from the poles (cube-face
+    corners/edges included): global random points incl. the dateline."""
+    rng = np.random.default_rng(7)
+    na, nb = 120, 600
+    alat = rng.uniform(-89.0, 89.0, na)
+    alon = rng.uniform(-180.0, 180.0, na)
+    blat = rng.uniform(-89.0, 89.0, nb)
+    blon = rng.uniform(-180.0, 180.0, nb)
+    # face-corner neighborhood (lat 45, lon 45) and dateline seam
+    alat[:2] = [45.0, 10.0]
+    alon[:2] = [45.0, 179.9]
+    blat[:2] = [45.2, 10.0]
+    blon[:2] = [45.2, -179.9]
+    a = _mkdf(spark, range(na), alat, alon, "a_id")
+    b = _mkdf(spark, range(nb), blat, blon, "b_id")
+    r = 400.0
+    got = sorted((x["a_id"], x["b_id"]) for x in range_join_within(
+        a, b, r, strategy="s2", dist_col="d").collect())
+    d = _hav_np(alat[:, None], alon[:, None], blat[None, :], blon[None, :])
+    want = sorted((int(i), int(j)) for i, j in zip(*np.nonzero(d <= r)))
+    assert got == want
+
+
+def test_auto_dispatch_grid_vs_s2(spark):
+    """auto must pick the grid while the lon blocking is sound and fall
+    back to S2 when it degenerates (max_abs_lat >= 90, polar caps, or
+    radius spanning all longitudes at the cap) — same results."""
+    from osm2garmin_spark.operators.range_join import _s2_level_for_radius
+
+    a = _mkdf(spark, [0], [89.9], [10.0], "a_id")
+    b = _mkdf(spark, [0, 1], [89.95, -20.0], [170.0, 10.0], "b_id")
+    # across the pole: colatitudes 0.1/0.05 deg at lon diff 160 deg are
+    # ~16 km apart even though the lon delta spans half the globe
+    got = range_join_within(a, b, 50.0, max_abs_lat=90.0).collect()
+    assert [(r["a_id"], r["b_id"]) for r in got] == [(0, 0)]
+    # grid would raise on these latitudes; s2 was dispatched instead
+    with pytest.raises(Exception, match="max_abs_lat"):
+        range_join_within(a, b, 50.0, max_abs_lat=85.0,
+                          strategy="grid").collect()
+    # level sizing: min cell width at the chosen level covers the radius
+    for r_km in (1.0, 25.0, 400.0, 5000.0):
+        lvl = _s2_level_for_radius(r_km)
+        min_width_km = (2 * math.sqrt(2) / 3) * 2.0 ** -lvl * R_EARTH
+        assert min_width_km >= r_km
+        if lvl < 30:
+            assert min_width_km / 2 < r_km   # finest such level
+    with pytest.raises(ValueError, match="all-pairs"):
+        _s2_level_for_radius(7000.0)
+
+
+def test_s2_strategy_nan_rows_drop(spark):
+    a = _mkdf(spark, [0, 1], [89.0, float("nan")], [0.0, 5.0], "a_id")
+    b = _mkdf(spark, [0, 1], [89.05, 89.0], [0.0, float("nan")], "b_id")
+    got = range_join_within(a, b, 30.0, strategy="s2").collect()
+    assert [(r["a_id"], r["b_id"]) for r in got] == [(0, 0)]
