@@ -81,9 +81,12 @@ def main():
     from osm2garmin_spark.operators.range_join import _cell_sizes_deg
     import math
     cell_lat, cell_lon = _cell_sizes_deg(r_km, cap + 0.1)
-    n_x = int(math.ceil(360.0 / cell_lon))
-    qk = q.withColumn("_ix", F.pmod(F.floor(
-        (F.col("lon") + F.lit(180.0)) / F.lit(cell_lon)), F.lit(n_x))) \
+    # mirror the operator's UNIFORM ring (floor + scaled index; see
+    # range_join.py — ceil left a narrow seam cell)
+    n_x = max(3, int(math.floor(360.0 / cell_lon)))
+    _ix = F.floor((F.col("lon") + F.lit(180.0)) * F.lit(float(n_x))
+                  / F.lit(360.0))
+    qk = q.withColumn("_ix", F.pmod(_ix, F.lit(n_x))) \
         .withColumn("_iy", F.floor((F.col("lat") + F.lit(90.0)) / F.lit(cell_lat)))
     qk = qk.select("q_id", "_ix", "_iy",
                    F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("_dx"))
@@ -91,8 +94,7 @@ def main():
                                          F.lit(n_x)).alias("_ix"),
                    F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("_dy"))
     qk = qk.select("q_id", "_ix", (F.col("_iy") + F.col("_dy")).alias("_iy"))
-    nk = n.withColumn("_ix", F.pmod(F.floor(
-        (F.col("lon") + F.lit(180.0)) / F.lit(cell_lon)), F.lit(n_x))) \
+    nk = n.withColumn("_ix", F.pmod(_ix, F.lit(n_x))) \
         .withColumn("_iy", F.floor((F.col("lat") + F.lit(90.0)) / F.lit(cell_lat)))
     out["candidates"] = qk.join(nk, on=["_ix", "_iy"]).count()
     out["candidate_scan_sec"] = round(time.perf_counter() - t0, 3)
