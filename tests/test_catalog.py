@@ -496,3 +496,106 @@ def test_catalog_missing_blob_raises_not_spins(spark, tmp_path, catalog):
     with pytest.raises(RuntimeError, match="stayed missing"):
         commit_with_catalog(d, spark, "assign", "b",
                             _stats_df(spark, [3]), catalog)
+
+
+def test_resume_lands_mid_compaction_wal_rescan(spark, tmp_path):
+    """End-to-end compaction-under-resume (VERDICT r5 #7): a resumed
+    run_tiling_resumable on the WAL-backed catalog whose done-scan state
+    goes stale mid-read — a compaction swaps the manifest list and
+    deletes the covered blobs AFTER the state fetch but BEFORE the
+    manifest read — must hit the FileNotFoundError rescan path, refetch,
+    skip every completed tile, and commit the remainder exactly once."""
+    from pyspark.sql import functions as F
+
+    from osm2garmin_spark.expressions import derived_lat, derived_lon
+    from osm2garmin_spark.pipeline.catalog import (_manifest_dir,
+                                                   _table_key,
+                                                   compact_catalog)
+    from osm2garmin_spark.pipeline.lineage import (read_committed_assigned,
+                                                   run_tiling_resumable)
+
+    wal = str(tmp_path / "midcompact.wal")
+    d = str(tmp_path / "midcompact")
+    points = spark.range(0, 3000).select(
+        F.col("id").alias("event_id"),
+        derived_lat(F.col("id")).alias("lat"),
+        derived_lon(F.col("id")).alias("lon"))
+
+    d_ref = str(tmp_path / "midcompact_ref")
+    run_tiling_resumable(points, d_ref, max_nodes=300, run_id="ref")
+    expected = sorted(map(tuple, read_committed_assigned(spark, d_ref)
+                          .select("event_id", "tile_id").collect()))
+
+    # two partial runs -> two committed manifests worth compacting
+    srv1 = CatalogServer(wal_path=wal).start()
+    c1 = CatalogClient(srv1.url)
+    assert run_tiling_resumable(points, d, max_nodes=300, run_id="p1",
+                                fail_after_tiles=1,
+                                catalog=c1)["processed"] == 1
+    assert run_tiling_resumable(points, d, max_nodes=300, run_id="p2",
+                                fail_after_tiles=1,
+                                catalog=c1)["processed"] == 1
+    srv1.stop()
+
+    # resume against a WAL-recovered server; the FIRST state fetch is
+    # made stale by an injected concurrent compaction (separate client)
+    # that runs after the fetch and unlinks the blobs the fetched list
+    # still names
+    srv2 = CatalogServer(wal_path=wal).start()
+    c2 = CatalogClient(srv2.url)
+    table = _table_key(d, None)
+    assert len(c2.state(table)["manifests"]) == 2
+    real_state, raced = c2.state, {"n": 0, "fnf": 0}
+
+    # instrument the done-scan's manifest read to prove the rescan path
+    # (not a silently-successful stale read) is what resolves the race
+    from osm2garmin_spark.pipeline import lineage as _lineage
+    real_tim = _lineage.tiles_in_manifests
+
+    def counting_tim(paths, stage):
+        try:
+            return real_tim(paths, stage)
+        except FileNotFoundError:
+            raced["fnf"] += 1
+            raise
+
+    def racing_state(t):
+        st = real_state(t)
+        if t == table and raced["n"] == 0:
+            raced["n"] += 1
+            assert compact_catalog(d, CatalogClient(srv2.url))[
+                "compacted"] == 2
+            for n in st["manifests"]:       # compactor really deleted them
+                assert not os.path.exists(os.path.join(_manifest_dir(d), n))
+        return st
+
+    c2.state = racing_state
+    _lineage.tiles_in_manifests = counting_tim
+    try:
+        r = run_tiling_resumable(points, d, max_nodes=300, run_id="p3",
+                                 catalog=c2)
+    finally:
+        _lineage.tiles_in_manifests = real_tim
+        c2.state = real_state
+        srv2.stop()
+    assert raced["n"] == 1                  # the stale read happened
+    assert raced["fnf"] >= 1                # ... and raised, then rescanned
+    assert r["skipped"] == 2
+    assert r["processed"] == r["tiles"] - 2
+
+    # exactly one committed row per tile, and the reader over the final
+    # (summary + tail) lineage equals the single-shot reference run
+    srv3 = CatalogServer(wal_path=wal).start()
+    c3 = CatalogClient(srv3.url)
+    try:
+        lin = read_catalog_lineage(spark, d, c3)
+        per_tile = lin.filter("stage = 'assign'").groupBy("tile_id") \
+                      .count().collect()
+        assert len(per_tile) == r["tiles"]
+        assert all(row["count"] == 1 for row in per_tile)
+        got = sorted(map(tuple,
+                         read_committed_assigned(spark, d, lineage_df=lin)
+                         .select("event_id", "tile_id").collect()))
+        assert got == expected
+    finally:
+        srv3.stop()
