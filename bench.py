@@ -217,7 +217,8 @@ def main():
                 "doc_token_bpe", "jaccard_pairs_docs", "embed_top3",
                 "minhash_candidates", "dedup_clusters_docs",
                 "crossmodal_dedup_clusters",
-                "phash_near_pairs_images", "phash_dedup_clusters",
+                "phash_near_pairs_images", "phash_dct_near_pairs_images",
+                "phash_dedup_clusters",
                 "ann_lsh_top3", "ann_ivf_top3",
                 "image_decode_stats", "video_frame_stats",
                 "audio_window_features", "sessionize_events",

@@ -281,3 +281,94 @@ def phash_near_pairs(images: DataFrame, id_col: str = "image_id",
              .filter(F.col("hamming") <= max_hamming))
 
     return cand.dropDuplicates(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# DCT perceptual hash (the pHash.org scheme, exact fixed-point arithmetic)
+# ---------------------------------------------------------------------------
+
+def _dct16_q13() -> "np.ndarray":
+    """Fixed-point 16-point DCT-II basis rows u = 1..8, Q13 scale:
+    D[u-1][x] = round(8192 * sqrt(2/16) * cos((2x+1) u pi / 32)).
+
+    Rounded ONCE here and inlined verbatim into the SQL oracle twin
+    (queries._PHASH_DCT_DMAT_SQL), so both engines evaluate the same
+    exact integer transform — no cross-engine libm/rounding surface.
+    """
+    import math
+    d = np.empty((8, 16), dtype=np.int64)
+    s = math.sqrt(2.0 / 16.0)
+    for u in range(1, 9):
+        for x in range(16):
+            d[u - 1, x] = round(8192.0 * s
+                                * math.cos((2 * x + 1) * u * math.pi / 32.0))
+    return d
+
+
+_DCT16_Q13 = _dct16_q13()
+
+
+def phash_dct64(img: "np.ndarray") -> int:
+    """uint8 2-D array → 64-bit DCT perceptual hash (signed int64).
+
+    The published pHash algorithm (pHash.org ph_dct_imagehash; also the
+    imagehash library), in EXACT integer arithmetic: 16×16 luma (inputs
+    of other sizes take the nearest-neighbor 16×16 sample, same floor
+    indexing as phash64) → fixed-point 16-point DCT-II (Q13 basis,
+    int64 sums — exact, no float transform) → the 8×8 LOW-FREQUENCY
+    block at (u, v) ∈ 1..8 (DC row/column excluded entirely) → bit
+    k = (u-1)*8 + (v-1) set iff coefficient > median of the 64.
+
+    Why a second fingerprint family: the mean-threshold hash compares
+    each PIXEL to the global mean, so a single sampled pixel sitting at
+    the mean boundary flips a bit under ±1 noise; this hash thresholds
+    low-frequency STRUCTURE, whose coefficients sit far from the median
+    for natural content, absorbing small high-frequency perturbations
+    (pinned empirically in tests: a boundary poke that flips the mean
+    hash leaves this one at hamming 0). One invariance is exact, not
+    empirical: every kept basis row sums to zero EVEN AFTER the Q13
+    rounding (verified for these constants), so a constant brightness
+    shift (no clipping) provably changes no coefficient and no bit;
+    u=0 / v=0, the only rows a constant excites, are excluded.
+    Median exactness: coefficients are int64 and |coef| < 2^40, so the
+    even-count median (mid-pair average) is an exact float64 in numpy
+    and in the SQL twin alike.
+    """
+    h, w = img.shape
+    if (h, w) != (16, 16):
+        rows = (np.arange(16) * h) // 16
+        cols = (np.arange(16) * w) // 16
+        img = img[np.ix_(rows, cols)]
+    p = img.astype(np.int64)
+    coef = _DCT16_Q13 @ p @ _DCT16_Q13.T          # exact int64, 8x8
+    flat = coef.reshape(64)
+    med = np.median(flat)                          # exact for |c| < 2^52
+    bits = (flat > med).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int((bits * weights).sum(dtype=np.uint64).view(np.int64))
+
+
+def phash_dct_from_bytes(images: DataFrame,
+                         out_col: str = "phash_dct") -> DataFrame:
+    """Recompute the DCT perceptual hash from stored image bytes:
+    (image_id, out_col). Same executor-side contract as phash_from_bytes
+    (Arrow-batched decode, bytes never reach the driver); the output
+    column feeds the generic band blocking (phash_near_pairs with
+    phash_col=out_col) unchanged — the blocking is hash-agnostic."""
+    from ..operators.raster import decode_image
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            out = np.zeros(n, np.int64)
+            for i in range(n):
+                img = decode_image(pdf["bytes"].iat[i],
+                                   int(pdf["w"].iat[i]),
+                                   int(pdf["h"].iat[i]),
+                                   pdf["fmt"].iat[i])
+                out[i] = phash_dct64(img)
+            yield pd.DataFrame({"image_id": pdf["image_id"].to_numpy(),
+                                out_col: out})
+
+    cols = images.select("image_id", "bytes", "w", "h", "fmt")
+    return cols.mapInPandas(kernel, schema=f"image_id string, {out_col} long")

@@ -1958,6 +1958,30 @@ def phash128_near_pairs_images(spark, sf_dir):
                         F.greatest(na, nb).alias("id_b"), "hamming")
 
 
+def phash_dct_near_pairs_images(spark, sf_dir):
+    """DCT perceptual-hash near-pairs (the published pHash.org scheme in
+    exact fixed-point arithmetic, functions/phash.py:phash_dct64): 16×16
+    luma → Q13 integer DCT-II → 8×8 low-frequency AC block → median
+    threshold → the SAME hash-agnostic pigeonhole band blocking as the
+    mean-threshold path. Fingerprints recomputed from bytes through the
+    real decode path (lossless formats, so the oracle's closed-form
+    generator twin — same Q13 constants inlined — holds bit-for-bit)."""
+    from .pipeline.synth import _gen_map
+    from .functions.phash import phash_dct_from_bytes, phash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
+                              "w int, h int, fmt string, caption string, phash long")
+    lossless = images.filter(F.col("fmt").isin("raw", "png"))
+    ph = phash_dct_from_bytes(lossless)
+    pairs = phash_near_pairs(ph, id_col="image_id",
+                             phash_col="phash_dct", max_hamming=3)
+    na = F.regexp_replace("id_a", "^img", "").cast("long")
+    nb = F.regexp_replace("id_b", "^img", "").cast("long")
+    return pairs.select(F.least(na, nb).alias("id_a"),
+                        F.greatest(na, nb).alias("id_b"), "hamming")
+
+
 def phash_dedup_clusters(spark, sf_dir):
     """Image dedup end-to-end (the image twin of dedup_clusters_docs):
     pHash band-blocked near-pairs over the stored ingest-time fingerprint
@@ -2474,6 +2498,59 @@ SELECT id_a, id_b, CAST(d AS INTEGER) AS hamming
 FROM ham WHERE d <= 3
 """
 
+# phash_dct_near_pairs_images: the DCT hash is exact integer arithmetic
+# end to end, so the oracle rebuilds it from the generator closed form
+# pixel(x, y, id) = (x*(id%7+1) + y*(id%11+3) + id) % 256 with the SAME
+# Q13 basis constants the engine uses (functions/phash._DCT16_Q13,
+# inlined verbatim below): coef(u,v) = sum_y sum_x D[u][y]*D[v][x]*pixel
+# (u = row frequency, v = column frequency — D @ p @ D^T), 64 AC
+# coefficients at u,v in 1..8, bit k=(u-1)*8+(v-1) iff coef > median
+# (DuckDB's interpolated even-count median of <2^40 integers is an
+# exact float64, same as numpy's), then the identical band join +
+# popcount refine as the mean-threshold oracle.
+def _phash_dct_dmat_values() -> str:
+    from .functions.phash import _DCT16_Q13
+    return ", ".join(f"({u + 1}, {x}, {int(c)})"
+                     for u, row in enumerate(_DCT16_Q13)
+                     for x, c in enumerate(row))
+
+
+_PHASH_DCT_PAIRS_SQL = f"""
+WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 <> 2),
+px AS (
+  SELECT id, xs.x, ys.y,
+         (xs.x * (id % 7 + 1) + ys.y * (id % 11 + 3) + id) % 256 AS v
+  FROM ids, range(16) xs(x), range(16) ys(y)),
+dmat(u, x, c) AS (VALUES {_phash_dct_dmat_values()}),
+coef AS (
+  SELECT px.id, du.u AS u, dv.u AS v,
+         SUM(CAST(du.c AS BIGINT) * dv.c * px.v) AS c
+  FROM px
+  JOIN dmat du ON du.x = px.y
+  JOIN dmat dv ON dv.x = px.x
+  GROUP BY px.id, du.u, dv.u),
+med AS (SELECT id, median(c) AS m FROM coef GROUP BY id),
+bands AS (
+  SELECT coef.id, CAST(((u - 1) * 8 + (v - 1)) // 16 AS INTEGER) AS bi,
+         CAST(SUM(CASE WHEN c > m
+                       THEN CAST(1 AS BIGINT)
+                            << CAST(((u - 1) * 8 + (v - 1)) % 16 AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS bv
+  FROM coef JOIN med ON coef.id = med.id
+  GROUP BY coef.id, ((u - 1) * 8 + (v - 1)) // 16),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r ON l.bi = r.bi AND l.bv = r.bv AND l.id < r.id),
+ham AS (
+  SELECT c.id_a, c.id_b, SUM(bit_count(xor(la.bv, lb.bv))) AS d
+  FROM cand c
+  JOIN bands la ON la.id = c.id_a
+  JOIN bands lb ON lb.id = c.id_b AND lb.bi = la.bi
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, CAST(d AS INTEGER) AS hamming
+FROM ham WHERE d <= 3
+"""
+
 # phash_dedup_clusters: same pair structure over ALL ids (stored phash),
 # then the reachability-closure connected components of the text twin
 # (_dedup_clusters_sql) with min-id canonical survivor.
@@ -2567,6 +2644,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top3": ann_ivf_top3,
         "phash_near_pairs_images": phash_near_pairs_images,
         "phash128_near_pairs_images": phash128_near_pairs_images,
+        "phash_dct_near_pairs_images": phash_dct_near_pairs_images,
         "dedup_clusters_docs": dedup_clusters_docs,
         "crossmodal_dedup_clusters": crossmodal_dedup_clusters,
         "phash_dedup_clusters": phash_dedup_clusters,
@@ -2676,6 +2754,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "image_decode_stats": _IMG_STATS_SQL,
         "phash_near_pairs_images": _PHASH_PAIRS_SQL,
         "phash128_near_pairs_images": _PHASH128_PAIRS_SQL,
+        "phash_dct_near_pairs_images": _PHASH_DCT_PAIRS_SQL,
         "phash_dedup_clusters": _PHASH_CLUSTERS_SQL,
         "video_frame_stats": _VIDEO_STATS_SQL,
         "audio_window_features": _AUDIO_FEATURES_SQL,

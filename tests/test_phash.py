@@ -153,3 +153,112 @@ def test_synth_phash_parity():
     assert list(pruned["phash"]) == list(full["phash"])
     assert list(pruned["image_id"]) == list(ids)
     assert list(full["image_id"]) == ["img" + str(i) for i in ids]
+
+
+def test_phash_dct_from_bytes_matches_kernel(spark):
+    """Spark byte-path DCT hash == the numpy kernel on locally decoded
+    images (lossless formats: exact)."""
+    from osm2garmin_spark.functions.phash import (phash_dct64,
+                                                  phash_dct_from_bytes)
+    from osm2garmin_spark.operators.raster import decode_image
+
+    imgs = synth_images(spark, 200, partitions=3) \
+        .filter(F.col("fmt").isin("raw", "png"))
+    got = {r["image_id"]: r["phash_dct"]
+           for r in phash_dct_from_bytes(imgs).collect()}
+    for r in imgs.select("image_id", "bytes", "w", "h", "fmt").collect():
+        img = decode_image(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+        assert got[r["image_id"]] == phash_dct64(img), r["image_id"]
+
+
+def test_phash_dct_near_pairs_match_brute_force(spark):
+    """Banded blocking over the DCT hash column == all-pairs brute force
+    (the blocking is hash-agnostic; this pins it on the new family)."""
+    from osm2garmin_spark.functions.phash import (phash_dct_from_bytes,
+                                                  phash_near_pairs)
+
+    imgs = synth_images(spark, 300, partitions=4) \
+        .filter(F.col("fmt").isin("raw", "png"))
+    ph = phash_dct_from_bytes(imgs)
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in phash_near_pairs(ph, phash_col="phash_dct",
+                                     max_hamming=3).collect()}
+    rows = ph.collect()
+    want = _brute_pairs([r["image_id"] for r in rows],
+                        [r["phash_dct"] & ((1 << 64) - 1) for r in rows], 3)
+    assert got == want
+
+
+def test_phash_dct_brightness_invariance_exact():
+    """Every kept Q13 basis row sums to EXACTLY zero (checked against
+    the constants, not assumed), so a constant brightness shift without
+    clipping provably changes no coefficient: hash identical."""
+    from osm2garmin_spark.functions.phash import _DCT16_Q13, phash_dct64
+
+    assert (_DCT16_Q13.sum(axis=1) == 0).all()
+    rng = np.random.RandomState(11)
+    for _ in range(5):
+        img = rng.randint(0, 200, (16, 16)).astype(np.uint8)
+        for shift in (1, 17, 55):
+            shifted = (img.astype(np.int64) + shift).astype(np.uint8)
+            assert phash_dct64(shifted) == phash_dct64(img)
+
+
+def test_phash_dct_absorbs_mean_boundary_noise():
+    """The distinguishing robustness property vs the mean-threshold
+    hash, on an image with genuine low-frequency structure (NOT a pure
+    ramp or a single separable cosine — for those every kept AC
+    coefficient is ~0, the median is a 63-way tie, and the DCT hash is
+    legitimately fragile): engineer one sampled pixel to sit exactly at
+    the sampled mean, then poke a DIFFERENT sampled pixel by +1. The
+    mean rises past the tied pixel and the mean hash flips; the DCT
+    hash — whose coefficients sit far from their median on this
+    content — is unchanged under that poke AND under every other
+    single-pixel +1 poke."""
+    from osm2garmin_spark.functions.phash import phash64, phash_dct64
+
+    yy, xx = np.indices((16, 16))
+    base = np.clip(120 + 60 * np.cos((xx - 4) / 5) * np.cos((yy - 9) / 4)
+                   + 40 * np.sin(xx * 1.1 + 0.3) * np.cos(yy * 0.7 + 1.2),
+                   0, 230).astype(np.int64)
+    small_idx = [(2 * r, 2 * c) for r in range(8) for c in range(8)]
+    tie_pix, poke_pix = (8, 8), (0, 2)
+    # set the tie pixel to the sampled value closest to the mean, then
+    # spread the residual so the sampled sum is exactly 64 * tie value
+    sum0 = sum(base[p] for p in small_idx)
+    v = min((base[p] for p in small_idx), key=lambda t: abs(64 * t - sum0))
+    base[tie_pix] = v
+    adj = 64 * v - sum(base[p] for p in small_idx)
+    spread = [p for p in small_idx if p not in (tie_pix, poke_pix)]
+    i, step = 0, 1 if adj > 0 else -1
+    while adj != 0:
+        p = spread[i % len(spread)]
+        if 0 <= base[p] + step <= 254:
+            base[p] += step
+            adj -= step
+        i += 1
+    img = base.astype(np.uint8)
+    s = img[::2, ::2].astype(np.float64)
+    assert s[4, 4] == s.mean()                  # the engineered tie
+
+    h0m, h0d = phash64(img), phash_dct64(img)
+    poke = img.copy()
+    poke[poke_pix] += 1
+    assert phash64(poke) != h0m                 # mean hash flips
+    assert phash_dct64(poke) == h0d             # DCT hash does not
+    for k in range(256):                        # ... nor under any poke
+        p2 = np.where(np.arange(256).reshape(16, 16) == k,
+                      np.minimum(img, 254) + 1, img).astype(np.uint8)
+        assert phash_dct64(p2) == h0d
+
+
+def test_phash_dct_nonsquare_input_sampled():
+    """Inputs that are not 16x16 take the same floor-index nearest
+    sample as the mean-hash family (no crash, deterministic)."""
+    from osm2garmin_spark.functions.phash import phash_dct64
+
+    rng = np.random.RandomState(3)
+    big = rng.randint(0, 256, (48, 32)).astype(np.uint8)
+    rows = (np.arange(16) * 48) // 16
+    cols = (np.arange(16) * 32) // 16
+    assert phash_dct64(big) == phash_dct64(big[np.ix_(rows, cols)])
