@@ -180,7 +180,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    a_col: str = "doc_a", b_col: str = "doc_b",
                    max_iters: int = 50, stats: dict = None,
-                   method: str = "star") -> DataFrame:
+                   method: str = "auto") -> DataFrame:
     """Connected-component cluster resolution over a near-dup pair graph:
     (id, cluster_id) where cluster_id = the minimum id in the component —
     the canonical-survivor rule of a training-data dedup pass ("keep one
@@ -188,9 +188,22 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     ``ids`` supplies the vertex universe, so documents with no pair come
     back as their own singleton cluster.
 
-    Two methods, bit-identical results (pytest pins parity):
+    Three methods, bit-identical results (pytest pins parity):
 
-    - ``method="star"`` (default): alternating large-star / small-star
+    - ``method="auto"`` (default): min-label rounds first — one cheap
+      shuffle each — and, if the graph has not converged after a few
+      rounds, contract every edge through the current labels and finish
+      with star alternation on the (strictly smaller) condensed graph.
+      Measured three ways before being made the default (BENCH.md
+      round-6): on a 1M-doc corpus of planted small clusters
+      (diameter ≤ 3) min-label 15.5 s / star 58.8 s / auto 18.9 s,
+      while on the sf0.1 pHash collision graph (chainier components)
+      star 7.6 s / min-label 13.4 s / auto 8.4 s — auto converges
+      early on the first shape, pays the star rounds only on the
+      condensed residual of the second, and stays within ~20% of the
+      per-shape winner while being ~1.6–3× ahead of the per-shape
+      loser, labels identical everywhere (digest-asserted).
+    - ``method="star"``: alternating large-star / small-star
       rounds (Kiveris et al., "Connected Components in MapReduce and
       Beyond", SoCC'14 — public algorithm). Each alternation rewires
       edges toward component minima; the edge set converges to disjoint
@@ -200,8 +213,8 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
       transitivity produces at corpus scale.
     - ``method="minlabel"``: iterative min-label propagation (each round
       every vertex takes the min of its own and its neighbors' labels;
-      rounds = component diameter). Kept as the parity twin and for
-      graphs known to be dense cliques where one round suffices.
+      rounds = component diameter). The parity twin; fastest on graphs
+      known to be small-diameter (dedup clusters usually are).
 
     ``max_iters`` is a divergence guard, not a tuning knob, and
     non-convergence raises instead of returning wrong labels. ``stats``:
@@ -219,13 +232,83 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     """
     if stats is not None:
         stats["method"] = method
+    if method == "auto":
+        return _clusters_auto(ids, pairs, id_col, a_col, b_col,
+                              max_iters, stats)
     if method == "star":
         return _clusters_star(ids, pairs, id_col, a_col, b_col,
                               max_iters, stats)
     if method == "minlabel":
         return _clusters_minlabel(ids, pairs, id_col, a_col, b_col,
                                   max_iters, stats)
-    raise ValueError(f"unknown method {method!r} (star | minlabel)")
+    raise ValueError(f"unknown method {method!r} (auto | star | minlabel)")
+
+
+#: min-label rounds the hybrid runs before contracting to star rounds.
+#: Components of diameter <= this converge inside the cheap phase; the
+#: value covers the overwhelmingly common dedup shape (small clusters)
+#: while bounding the wasted cheap rounds on chain graphs to a constant.
+_AUTO_SWITCH_AFTER = 3
+
+
+def _clusters_auto(ids, pairs, id_col, a_col, b_col, max_iters, stats):
+    """Hybrid resolution: up to _AUTO_SWITCH_AFTER min-label rounds; on
+    non-convergence, contract edges through the current labels and
+    delegate the condensed graph to star alternation, composing
+    final(v) = star_label(minlabel_label(v)).
+
+    Correctness of the composition: after K min-label rounds label(v)
+    is the minimum id within distance K of v — in particular each label
+    is a vertex of the same component, and a component's true minimum m
+    always has label(m) = m, so m survives contraction as a condensed
+    vertex and star's per-component minimum over condensed vertices IS
+    the true minimum. Edges (a, b) map to (label(a), label(b)); dropped
+    self-loops are exactly the pairs already known to share a label."""
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(b_col).alias("src"),
+                              F.col(a_col).alias("dst")))
+             .repartition("src").localCheckpoint())
+    labels = (ids.select(F.col(id_col).alias("v"),
+                         F.col(id_col).alias("lbl"))
+              .localCheckpoint())
+    for it in range(_AUTO_SWITCH_AFTER):
+        nbr = (edges.join(labels.withColumnRenamed("v", "src"), "src")
+               .groupBy("dst").agg(F.min("lbl").alias("_nlbl"))
+               .withColumnRenamed("dst", "v"))
+        nlbl = F.coalesce(F.col("_nlbl"), F.col("lbl"))
+        new = (labels.join(nbr, "v", "left")
+               .select("v",
+                       F.least(F.col("lbl"), nlbl).alias("lbl"),
+                       (nlbl < F.col("lbl")).cast("long").alias("_chg"))
+               .localCheckpoint())
+        changed = new.agg(F.sum("_chg")).first()[0]
+        labels = new.drop("_chg")
+        if not changed:
+            if stats is not None:
+                stats["rounds"] = it + 1
+                stats["switched"] = False
+            return labels.select(F.col("v").alias(id_col),
+                                 F.col("lbl").alias("cluster_id"))
+    # not converged: condense and finish with star on the residual.
+    # Built from the CHECKPOINTED directed edge list, not from ``pairs``
+    # — re-reading pairs would re-evaluate its (possibly expensive LSH /
+    # band-join) lineage a second time. Each undirected edge appears in
+    # both directions here; star's distinct() collapses them.
+    la = labels.select(F.col("v").alias("src"), F.col("lbl").alias("_la"))
+    lb = labels.select(F.col("v").alias("dst"), F.col("lbl").alias("_lb"))
+    condensed = (edges.join(la, "src").join(lb, "dst")
+                 .select(F.col("_la").alias("ca"), F.col("_lb").alias("cb"))
+                 .filter(F.col("ca") != F.col("cb")))
+    cvs = labels.select(F.col("lbl").alias("cv")).distinct()
+    sub = {}
+    star = _clusters_star(cvs, condensed, "cv", "ca", "cb", max_iters, sub)
+    if stats is not None:
+        stats["rounds"] = _AUTO_SWITCH_AFTER + sub.get("rounds", 0)
+        stats["switched"] = True
+        stats["star_rounds"] = sub.get("rounds", 0)
+    return (labels.join(star.withColumnRenamed("cv", "lbl"), "lbl")
+            .select(F.col("v").alias(id_col), "cluster_id"))
 
 
 def _clusters_star(ids, pairs, id_col, a_col, b_col, max_iters, stats):

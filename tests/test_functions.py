@@ -362,3 +362,63 @@ def test_dedup_clusters_64bit_ids_no_overflow(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert all(got[base + i] == base + (i - i % 2) for i in range(38))
     assert got[base + 38] == base + 38 and got[base + 39] == base + 39
+
+
+def test_dedup_clusters_auto_switches_on_chain(spark):
+    """The hybrid default: a 64-node path (diameter 63) cannot converge
+    inside the cheap min-label phase, so auto must contract and finish
+    with star rounds — labels identical to both pure methods, total
+    rounds far below the diameter."""
+    from osm2garmin_spark.functions.dedup import dedup_clusters
+
+    ids = spark.range(0, 64).selectExpr("id AS doc_id")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long")
+    s = {}
+    out = dedup_clusters(ids, pairs, stats=s)          # default = auto
+    assert {r["doc_id"]: r["cluster_id"] for r in out.collect()} == \
+        {i: 0 for i in range(64)}
+    assert s["method"] == "auto" and s["switched"] is True
+    assert s["star_rounds"] >= 1
+    assert s["rounds"] <= 12                           # << diameter 63
+
+
+def test_dedup_clusters_auto_no_switch_on_small_components(spark):
+    """Small-diameter components (triangles + an edge + singletons — the
+    common dedup shape) converge inside the cheap phase: no contraction,
+    no star rounds, labels equal to the star twin."""
+    from osm2garmin_spark.functions.dedup import dedup_clusters
+
+    ids = spark.range(0, 12).selectExpr("id AS doc_id")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (5, 6), (8, 9), (9, 10)],
+        "doc_a long, doc_b long")
+    s = {}
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(ids, pairs, stats=s).collect()}
+    want = {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7,
+            8: 8, 9: 8, 10: 8, 11: 11}
+    assert out == want
+    assert s["switched"] is False
+    got_star = {r["doc_id"]: r["cluster_id"]
+                for r in dedup_clusters(ids, pairs,
+                                        method="star").collect()}
+    assert got_star == want
+
+
+def test_dedup_clusters_auto_min_only_on_b_side_after_switch(spark):
+    """Regression guard for the contraction step: a long chain whose
+    component minimum appears only on the doc_b side and unsorted pair
+    order — auto (switched) must still label everything with the true
+    minimum."""
+    from osm2garmin_spark.functions.dedup import dedup_clusters
+
+    n = 40
+    ids = spark.range(0, n).selectExpr("id AS doc_id")
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(n - 1)][::-1], "doc_a long, doc_b long")
+    s = {}
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(ids, pairs, stats=s).collect()}
+    assert s["switched"] is True
+    assert out == {i: 0 for i in range(n)}

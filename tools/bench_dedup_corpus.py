@@ -66,6 +66,17 @@ def main():
                 .filter(F.col("c_star") != F.col("c_ml")).count())
     wall_ml = time.perf_counter() - t2
     assert diverged == 0, f"{diverged} labels diverged between methods"
+
+    stats_auto: dict = {}
+    t3 = time.perf_counter()
+    clusters_auto = dedup_clusters(docs.select("doc_id"), pairs,
+                                   stats=stats_auto)     # default path
+    diverged_a = (clusters.withColumnRenamed("cluster_id", "c_star")
+                  .join(clusters_auto.withColumnRenamed("cluster_id", "c_a"),
+                        "doc_id")
+                  .filter(F.col("c_star") != F.col("c_a")).count())
+    wall_auto = time.perf_counter() - t3
+    assert diverged_a == 0, f"{diverged_a} labels diverged (auto vs star)"
     by_size = {int(r["count"]): int(r["count(1)"])
                if "count(1)" in r.asDict() else int(r[1]) for r in sizes}
 
@@ -86,6 +97,9 @@ def main():
         "rounds_to_fixpoint": stats.get("rounds"),
         "wall_clusters_minlabel_sec": round(wall_ml, 2),
         "rounds_minlabel": stats_ml.get("rounds"),
+        "wall_clusters_auto_sec": round(wall_auto, 2),
+        "rounds_auto": stats_auto.get("rounds"),
+        "auto_switched": stats_auto.get("switched"),
         "labels_identical": True,
         "cluster_size_histogram": {str(k): v for k, v in sorted(by_size.items())},
         "planted_triples": n_blocks,
