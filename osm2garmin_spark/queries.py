@@ -371,6 +371,76 @@ FROM per GROUP BY user_id
 """
 
 
+def asof_latest_order_per_event(spark, sf_dir):
+    """Distributed as-of join (operators/asof_join.py): every event gets
+    the user's most recent order at-or-before the event timestamp —
+    union-merge plan, ONE shuffle on the key, no pair blowup (module
+    docstring). Same-timestamp orders resolve to the max orderkey;
+    events before the user's first order keep NULL match columns."""
+    from .operators.asof_join import asof_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (_read(spark, sf_dir, "orders")
+              .select(F.col("o_custkey").alias("user_id"),
+                      F.col("o_orderdate"), F.col("o_orderkey")))
+    out = asof_join(ev, orders, key="user_id", left_ts="ts",
+                    right_ts="o_orderdate", payload=["o_orderkey"],
+                    direction="backward", tiebreak_col="o_orderkey",
+                    matched_ts_col="order_ts")
+    return out.select("event_id", "user_id", "o_orderkey", "order_ts")
+
+
+def _asof_backward_sql() -> str:
+    from .operators.asof_join import asof_join_sql
+
+    inner = asof_join_sql(
+        left_table="(SELECT event_id, user_id, ts FROM events)",
+        right_table=("(SELECT o_custkey AS user_id, o_orderdate, o_orderkey "
+                     "FROM orders)"),
+        key_left="user_id", key_right="user_id",
+        left_ts="ts", right_ts="o_orderdate", payload=["o_orderkey"],
+        left_cols=["event_id", "user_id", "ts"],
+        direction="backward", tiebreak_col="o_orderkey",
+        matched_ts_col="order_ts")
+    return (f"SELECT event_id, user_id, o_orderkey, order_ts "
+            f"FROM ({inner})")
+
+
+def asof_next_order_per_event(spark, sf_dir):
+    """Forward as-of with tolerance: the user's EARLIEST order at-or-after
+    the event, NULLed out when it is more than 30 days away — the
+    label-attribution shape (did this event convert within the window?).
+    Ties at one timestamp resolve to the min orderkey (forward
+    contract)."""
+    from .operators.asof_join import asof_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (_read(spark, sf_dir, "orders")
+              .select(F.col("o_custkey").alias("user_id"),
+                      F.col("o_orderdate"), F.col("o_orderkey")))
+    out = asof_join(ev, orders, key="user_id", left_ts="ts",
+                    right_ts="o_orderdate", payload=["o_orderkey"],
+                    direction="forward", tiebreak_col="o_orderkey",
+                    tolerance_sec=30 * 86400.0, matched_ts_col="order_ts")
+    return out.select("event_id", "user_id", "o_orderkey", "order_ts")
+
+
+def _asof_forward_sql() -> str:
+    from .operators.asof_join import asof_join_sql
+
+    inner = asof_join_sql(
+        left_table="(SELECT event_id, user_id, ts FROM events)",
+        right_table=("(SELECT o_custkey AS user_id, o_orderdate, o_orderkey "
+                     "FROM orders)"),
+        key_left="user_id", key_right="user_id",
+        left_ts="ts", right_ts="o_orderdate", payload=["o_orderkey"],
+        left_cols=["event_id", "user_id", "ts"],
+        direction="forward", tiebreak_col="o_orderkey",
+        tolerance_sec=30 * 86400.0, matched_ts_col="order_ts")
+    return (f"SELECT event_id, user_id, o_orderkey, order_ts "
+            f"FROM ({inner})")
+
+
 def stream_tumbling_counts(spark, sf_dir):
     """Driver-gate twin of the Structured Streaming tumbling-window op:
     runs streaming/stream_ops.stream_hourly_counts — the EXACT code the
@@ -2634,6 +2704,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": events_hourly_rollup,
         "pivot_user_event_matrix": pivot_user_event_matrix,
         "sessionize_events": sessionize_events,
+        "asof_latest_order_per_event": asof_latest_order_per_event,
+        "asof_next_order_per_event": asof_next_order_per_event,
         # -- LLM-data-pipeline block (driver attestation priority) ------
         "stream_tumbling_counts": stream_tumbling_counts,
         "stream_session_windows": stream_session_windows,
@@ -2758,6 +2830,8 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "phash_dedup_clusters": _PHASH_CLUSTERS_SQL,
         "video_frame_stats": _VIDEO_STATS_SQL,
         "audio_window_features": _AUDIO_FEATURES_SQL,
+        "asof_latest_order_per_event": _asof_backward_sql(),
+        "asof_next_order_per_event": _asof_forward_sql(),
         "minhash_candidates": _minhash_sql(),
         "dedup_clusters_docs": _dedup_clusters_sql(),
         "crossmodal_dedup_clusters": _crossmodal_clusters_sql(),
