@@ -371,6 +371,64 @@ FROM per GROUP BY user_id
 """
 
 
+def sample_events_hash(spark, sf_dir):
+    """Deterministic 5% corpus sample (functions/sampling.py): membership
+    is a pure function of (event_id, seed) — reshard-invariant and nested
+    across rates, unlike df.sample's per-partition RNG. Zero shuffle."""
+    from .functions.sampling import hash_sample
+
+    ev = _read(spark, sf_dir, "events")
+    return hash_sample(ev, "event_id", 0.05, seed=7).select(
+        "event_id", "user_id", "event_type")
+
+
+def _sample_hash_sql() -> str:
+    from .functions.sampling import hash_sample_sql
+
+    inner = hash_sample_sql("events", "event_id", 0.05, seed=7)
+    return f"SELECT event_id, user_id, event_type FROM ({inner})"
+
+
+def sample_events_stratified(spark, sf_dir):
+    """Per-class keep rates — the training-mix rebalance: drop most
+    clicks/views, keep half the purchases. Still a pure row filter."""
+    from .functions.sampling import stratified_rate_sample
+
+    rates = {"click": 0.02, "view": 0.02, "purchase": 0.5, "error": 0.1}
+    ev = _read(spark, sf_dir, "events")
+    return stratified_rate_sample(
+        ev, "event_type", "event_id", rates, default_rate=0.01,
+        seed=11).select("event_id", "event_type")
+
+
+def _sample_stratified_sql() -> str:
+    from .functions.sampling import stratified_rate_sample_sql
+
+    rates = {"click": 0.02, "view": 0.02, "purchase": 0.5, "error": 0.1}
+    inner = stratified_rate_sample_sql("events", "event_type", "event_id",
+                                       rates, default_rate=0.01, seed=11)
+    return f"SELECT event_id, event_type FROM ({inner})"
+
+
+def sample_events_balanced(spark, sf_dir):
+    """Exactly 200 rows per event_type — the k smallest hashes with id
+    tie-break (deterministic uniform pick). rank<=k lowers to
+    WindowGroupLimit: map-side top-k heap, one stratum shuffle."""
+    from .functions.sampling import balanced_sample
+
+    ev = _read(spark, sf_dir, "events")
+    return balanced_sample(ev, "event_type", "event_id", k=200,
+                           seed=3).select("event_id", "event_type")
+
+
+def _sample_balanced_sql() -> str:
+    from .functions.sampling import balanced_sample_sql
+
+    inner = balanced_sample_sql("events", "event_type", "event_id", k=200,
+                                seed=3)
+    return f"SELECT event_id, event_type FROM ({inner})"
+
+
 def asof_latest_order_per_event(spark, sf_dir):
     """Distributed as-of join (operators/asof_join.py): every event gets
     the user's most recent order at-or-before the event timestamp —
@@ -2706,6 +2764,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "asof_latest_order_per_event": asof_latest_order_per_event,
         "asof_next_order_per_event": asof_next_order_per_event,
+        "sample_events_hash": sample_events_hash,
+        "sample_events_stratified": sample_events_stratified,
+        "sample_events_balanced": sample_events_balanced,
         # -- LLM-data-pipeline block (driver attestation priority) ------
         "stream_tumbling_counts": stream_tumbling_counts,
         "stream_session_windows": stream_session_windows,
@@ -2832,6 +2893,9 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "audio_window_features": _AUDIO_FEATURES_SQL,
         "asof_latest_order_per_event": _asof_backward_sql(),
         "asof_next_order_per_event": _asof_forward_sql(),
+        "sample_events_hash": _sample_hash_sql(),
+        "sample_events_stratified": _sample_stratified_sql(),
+        "sample_events_balanced": _sample_balanced_sql(),
         "minhash_candidates": _minhash_sql(),
         "dedup_clusters_docs": _dedup_clusters_sql(),
         "crossmodal_dedup_clusters": _crossmodal_clusters_sql(),
