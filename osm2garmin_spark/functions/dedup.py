@@ -177,6 +177,73 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                        (eq_cnt.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"))
 
 
+def edit_refine(pairs: DataFrame, docs: DataFrame, max_dist: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                a_col: str = "doc_a", b_col: str = "doc_b",
+                prefix: int = 120,
+                dist_col: str = "edit_dist") -> DataFrame:
+    """Second-stage verification of LSH candidate pairs by bounded edit
+    distance — the precision pass after minhash recall (candidates share
+    hashed shingles; edit distance certifies character-level closeness
+    and kills the shingle-collision false positives).
+
+    Distance is computed on the first ``prefix`` characters of each text
+    (a standard corpus-dedup bound: full-document Levenshtein is O(n*m)
+    per pair and documents run to megabytes; the prefix cap makes the
+    per-pair cost a CONSTANT O(prefix * max_dist), independent of
+    document length). The threshold form of Spark's ``levenshtein``
+    (JVM-side, 3-arg since Spark 3.5) abandons a pair's DP early once
+    the banded diagonal exceeds ``max_dist`` — cost O(p*d), not O(p^2).
+
+    Scale shape: two shuffle joins keyed on the pair ids pull the two
+    prefixes next to each other (SUBSTRING happens in the scan
+    projection, so only ``prefix`` chars per doc move through the
+    shuffle, not whole documents), then a pure-JVM filter. Cost is
+    proportional to CANDIDATES (already bucketed by LSH), never all
+    pairs. No Python UDF.
+
+    Returns (a_col, b_col, dist_col) for pairs with distance <=
+    ``max_dist``.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if prefix < 1:
+        raise ValueError(f"prefix must be >= 1, got {prefix}")
+    txt = docs.select(F.col(id_col).alias("_eid"),
+                      F.substring(F.col(text_col), 1, prefix).alias("_ep"))
+    joined = (pairs
+              .join(txt.withColumnRenamed("_eid", a_col)
+                    .withColumnRenamed("_ep", "_pa"), a_col)
+              .join(txt.withColumnRenamed("_eid", b_col)
+                    .withColumnRenamed("_ep", "_pb"), b_col))
+    d = F.levenshtein(F.col("_pa"), F.col("_pb"), max_dist)
+    return (joined.withColumn(dist_col, d)
+            .filter(F.col(dist_col) >= 0)
+            .select(a_col, b_col, dist_col))
+
+
+def edit_refine_sql(pairs_cte: str, max_dist: int, prefix: int = 120,
+                    docs_table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`edit_refine` over a candidate-pairs CTE named
+    ``pairs`` with columns (doc_a, doc_b). DuckDB's levenshtein counts
+    BYTES where Spark counts codepoints — equal on ASCII corpora (the
+    gate corpus is verified ASCII; the unicode divergence is pinned
+    Spark-side in pytest instead)."""
+    return f"""
+WITH {pairs_cte},
+prefixes AS (
+  SELECT {id_col} AS pid, substr({text_col}, 1, {int(prefix)}) AS p
+  FROM {docs_table}
+)
+SELECT doc_a, doc_b, levenshtein(a.p, b.p) AS edit_dist
+FROM pairs
+JOIN prefixes a ON a.pid = doc_a
+JOIN prefixes b ON b.pid = doc_b
+WHERE levenshtein(a.p, b.p) <= {int(max_dist)}
+"""
+
+
 def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    a_col: str = "doc_a", b_col: str = "doc_b",
                    max_iters: int = 50, stats: dict = None,

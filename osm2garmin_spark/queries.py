@@ -2252,6 +2252,23 @@ pairs AS (
 )"""
 
 
+def near_dup_edit_refine(spark, sf_dir):
+    """Precision pass over the minhash-LSH candidates: bounded prefix
+    Levenshtein (threshold DP, JVM-side) certifies character-level
+    closeness and drops shingle-collision false positives
+    (functions/dedup.edit_refine)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    cand = D.minhash_lsh_pairs(docs, "doc_id", "text", n=1,
+                               num_hashes=16, bands=8)
+    return D.edit_refine(cand, docs, max_dist=80, prefix=120)
+
+
+def _edit_refine_sql() -> str:
+    return D.edit_refine_sql(
+        _minhash_pairs_ctes(16, 8), max_dist=80, prefix=120,
+        docs_table="(SELECT * FROM documents WHERE doc_id < 300)")
+
+
 def dedup_clusters_docs(spark, sf_dir):
     """Dedup cluster resolution (the step AFTER candidate generation in a
     training-data pipeline): connected components over the minhash-LSH
@@ -2778,6 +2795,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_pairs_images": phash_near_pairs_images,
         "phash128_near_pairs_images": phash128_near_pairs_images,
         "phash_dct_near_pairs_images": phash_dct_near_pairs_images,
+        "near_dup_edit_refine": near_dup_edit_refine,
         "dedup_clusters_docs": dedup_clusters_docs,
         "crossmodal_dedup_clusters": crossmodal_dedup_clusters,
         "phash_dedup_clusters": phash_dedup_clusters,
@@ -2897,6 +2915,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "sample_events_stratified": _sample_stratified_sql(),
         "sample_events_balanced": _sample_balanced_sql(),
         "minhash_candidates": _minhash_sql(),
+        "near_dup_edit_refine": _edit_refine_sql(),
         "dedup_clusters_docs": _dedup_clusters_sql(),
         "crossmodal_dedup_clusters": _crossmodal_clusters_sql(),
         "ann_lsh_top3": _ann_lsh_sql(),

@@ -422,3 +422,67 @@ def test_dedup_clusters_auto_min_only_on_b_side_after_switch(spark):
            for r in dedup_clusters(ids, pairs, stats=s).collect()}
     assert s["switched"] is True
     assert out == {i: 0 for i in range(n)}
+
+
+def test_edit_refine_matches_python_dp(spark):
+    """Surviving pairs + distances equal a reference DP Levenshtein."""
+    from osm2garmin_spark.functions.dedup import edit_refine
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = {0: "the quick brown fox", 1: "the quick brown fax",
+             2: "lorem ipsum dolor", 3: "the quick brwn fox jumps",
+             4: "completely different content here"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    cand = [(a, b) for a in texts for b in texts if a < b]
+    pairs = spark.createDataFrame(cand, "doc_a long, doc_b long")
+    got = {(r.doc_a, r.doc_b): r.edit_dist
+           for r in edit_refine(pairs, docs, max_dist=6, prefix=50).collect()}
+    want = {(a, b): lev(texts[a][:50], texts[b][:50])
+            for a, b in cand if lev(texts[a][:50], texts[b][:50]) <= 6}
+    assert got == want and (0, 1) in got and got[(0, 1)] == 1
+
+
+def test_edit_refine_prefix_caps_cost_and_distance(spark):
+    """Distance is computed on the PREFIX: two texts identical in the
+    first `prefix` chars but wildly different after must survive at 0."""
+    from osm2garmin_spark.functions.dedup import edit_refine
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 30 + "a" * 500), (1, "x" * 30 + "b" * 500)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    got = edit_refine(pairs, docs, max_dist=2, prefix=30).collect()
+    assert [(r.doc_a, r.doc_b, r.edit_dist) for r in got] == [(0, 1, 0)]
+
+
+def test_edit_refine_counts_codepoints_not_bytes(spark):
+    """Spark levenshtein is codepoint-based; pin it so the documented
+    ASCII-only oracle-parity assumption stays explicit."""
+    from osm2garmin_spark.functions.dedup import edit_refine
+
+    docs = spark.createDataFrame([(0, "résumé"), (1, "resume")],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    got = edit_refine(pairs, docs, max_dist=5, prefix=20).collect()
+    assert got[0].edit_dist == 2     # é→e twice; bytes would give 4
+
+
+def test_edit_refine_bad_args(spark):
+    import pytest
+    from osm2garmin_spark.functions.dedup import edit_refine
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 0)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_refine(pairs, docs, max_dist=-1)
+    with pytest.raises(ValueError, match="prefix"):
+        edit_refine(pairs, docs, max_dist=1, prefix=0)
