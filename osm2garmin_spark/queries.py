@@ -371,6 +371,31 @@ FROM per GROUP BY user_id
 """
 
 
+def track_lengths_per_user(spark, sf_dir):
+    """Per-user geodesic track summary (operators/trajectory.py): order
+    each user's events in time, haversine each consecutive leg, aggregate
+    in integer meters. One shuffle; the groupBy reuses the window's
+    partitioning."""
+    from .operators.trajectory import track_stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        derived_lat(F.col("event_id")).alias("lat"),
+        derived_lon(F.col("event_id")).alias("lon"))
+    return track_stats(ev, key_col="user_id", ts_col="ts",
+                       lat_col="lat", lon_col="lon", seq_col="event_id")
+
+
+def _track_lengths_sql() -> str:
+    from .operators.trajectory import track_stats_sql
+
+    points = (f"points AS (SELECT user_id, ts, event_id, "
+              f"{derived_lat_sql('event_id')} AS lat, "
+              f"{derived_lon_sql('event_id')} AS lon FROM events)")
+    return track_stats_sql(points, key_col="user_id", ts_col="ts",
+                           lat_col="lat", lon_col="lon", seq_col="event_id")
+
+
 def sample_events_hash(spark, sf_dir):
     """Deterministic 5% corpus sample (functions/sampling.py): membership
     is a pure function of (event_id, seed) — reshard-invariant and nested
@@ -2784,6 +2809,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_events_hash": sample_events_hash,
         "sample_events_stratified": sample_events_stratified,
         "sample_events_balanced": sample_events_balanced,
+        "track_lengths_per_user": track_lengths_per_user,
         # -- LLM-data-pipeline block (driver attestation priority) ------
         "stream_tumbling_counts": stream_tumbling_counts,
         "stream_session_windows": stream_session_windows,
@@ -2914,6 +2940,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "sample_events_hash": _sample_hash_sql(),
         "sample_events_stratified": _sample_stratified_sql(),
         "sample_events_balanced": _sample_balanced_sql(),
+        "track_lengths_per_user": _track_lengths_sql(),
         "minhash_candidates": _minhash_sql(),
         "near_dup_edit_refine": _edit_refine_sql(),
         "dedup_clusters_docs": _dedup_clusters_sql(),
