@@ -215,6 +215,51 @@ def phash128_near_pairs(images: DataFrame, id_col: str = "image_id",
     return cand.dropDuplicates(["id_a", "id_b"])
 
 
+def dhash64(img: "np.ndarray") -> int:
+    """uint8 2-D array → 64-bit difference hash (signed int64).
+
+    The gradient fingerprint (Krawetz, "Kind of Like That",
+    hackerfactor.com 2013 — public algorithm): sample a 8-row × 9-column
+    grid with the same floor-index nearest-neighbor rule as phash64, set
+    bit k = r*8+c (LSB-first) iff the right neighbor is strictly
+    brighter: grid[r][c+1] > grid[r][c]. Horizontal-gradient signs are
+    invariant to global brightness AND to any monotone per-pixel
+    remapping — a different robustness class from the mean-threshold
+    hash (which a brightness gradient can flip wholesale), which is why
+    corpus dedup runs both and unions the edges (crossmodal pattern).
+    """
+    h, w = img.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    grid = img[np.ix_(rows, cols)].astype(np.int16)
+    bits = (grid[:, 1:] > grid[:, :-1]).reshape(64).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int((bits * weights).sum(dtype=np.uint64).view(np.int64))
+
+
+def dhash_from_bytes(images: DataFrame,
+                     out_col: str = "dhash_computed") -> DataFrame:
+    """Recompute the dHash fingerprint from stored image bytes — same
+    Arrow-batched decode path as phash_from_bytes."""
+    from ..operators.raster import decode_image
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            out = np.zeros(n, np.int64)
+            for i in range(n):
+                img = decode_image(pdf["bytes"].iat[i],
+                                   int(pdf["w"].iat[i]),
+                                   int(pdf["h"].iat[i]),
+                                   pdf["fmt"].iat[i])
+                out[i] = dhash64(img)
+            yield pd.DataFrame({"image_id": pdf["image_id"].to_numpy(),
+                                out_col: out})
+
+    cols = images.select("image_id", "bytes", "w", "h", "fmt")
+    return cols.mapInPandas(kernel, schema=f"image_id string, {out_col} long")
+
+
 def phash_bands(phash: Column, bands: int) -> List[Column]:
     """64-bit hash → ``bands`` disjoint bit bands, LSB band first.
 

@@ -2630,6 +2630,62 @@ ham AS (
   GROUP BY c.id_a, c.id_b)"""
 
 
+def dhash_near_pairs_images(spark, sf_dir):
+    """Difference-hash near-duplicate pairs — the gradient-sign twin of
+    phash_near_pairs_images (functions/phash.dhash64: 8×9 grid, bit =
+    right neighbor strictly brighter; invariant to monotone brightness
+    remaps where the mean-threshold hash is not). Recomputed from the
+    stored bytes through the real decode path on the lossless subset,
+    then the same pigeonhole-complete 4×16-bit band join + popcount
+    refine."""
+    from .pipeline.synth import _gen_map
+    from .functions.phash import dhash_from_bytes, phash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
+                              "w int, h int, fmt string, caption string, phash long")
+    lossless = images.filter(F.col("fmt").isin("raw", "png"))
+    dh = dhash_from_bytes(lossless)
+    pairs = phash_near_pairs(dh, id_col="image_id",
+                             phash_col="dhash_computed", max_hamming=3)
+    na = F.regexp_replace("id_a", "^img", "").cast("long")
+    nb = F.regexp_replace("id_b", "^img", "").cast("long")
+    return pairs.select(F.least(na, nb).alias("id_a"),
+                        F.greatest(na, nb).alias("id_b"), "hamming")
+
+
+# dhash oracle: the generator pixel closed form sampled on the 8×9 dHash
+# grid — row r is image row 2r, column c is image column (c*16)//9; bit
+# k=r*8+c set iff the right neighbor is strictly brighter; identical
+# 4×16-bit band join + popcount refine as the mean-threshold oracle.
+_DHASH_PAIRS_SQL = """
+WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 <> 2),
+grid AS (
+  SELECT id, r, c,
+         (((c * 16) // 9) * (id % 7 + 1) + (2 * r) * (id % 11 + 3) + id) % 256 AS v
+  FROM ids, range(8) rs(r), range(9) cs(c)),
+bands AS (
+  SELECT g.id, CAST((g.r * 8 + g.c) // 16 AS INTEGER) AS bi,
+         CAST(SUM(CASE WHEN n.v > g.v
+                       THEN CAST(1 AS BIGINT) << CAST((g.r * 8 + g.c) % 16 AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS bv
+  FROM grid g JOIN grid n ON n.id = g.id AND n.r = g.r AND n.c = g.c + 1
+  WHERE g.c < 8
+  GROUP BY g.id, (g.r * 8 + g.c) // 16),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r ON l.bi = r.bi AND l.bv = r.bv AND l.id < r.id),
+ham AS (
+  SELECT c.id_a, c.id_b, SUM(bit_count(xor(la.bv, lb.bv))) AS d
+  FROM cand c
+  JOIN bands la ON la.id = c.id_a
+  JOIN bands lb ON lb.id = c.id_b AND lb.bi = la.bi
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, CAST(d AS INTEGER) AS hamming
+FROM ham WHERE d <= 3
+"""
+
+
 _PHASH_PAIRS_SQL = f"""
 WITH {_phash_pair_ctes("WHERE doc_id % 3 <> 2")}
 SELECT id_a, id_b, CAST(d AS INTEGER) AS hamming
@@ -2819,6 +2875,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top3": ann_lsh_top3,
         "ann_ivf_top3": ann_ivf_top3,
         "phash_near_pairs_images": phash_near_pairs_images,
+        "dhash_near_pairs_images": dhash_near_pairs_images,
         "phash128_near_pairs_images": phash128_near_pairs_images,
         "phash_dct_near_pairs_images": phash_dct_near_pairs_images,
         "near_dup_edit_refine": near_dup_edit_refine,
@@ -2930,6 +2987,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "tiling_pipeline_counts": _PIPE_COUNTS_SQL,
         "image_decode_stats": _IMG_STATS_SQL,
         "phash_near_pairs_images": _PHASH_PAIRS_SQL,
+        "dhash_near_pairs_images": _DHASH_PAIRS_SQL,
         "phash128_near_pairs_images": _PHASH128_PAIRS_SQL,
         "phash_dct_near_pairs_images": _PHASH_DCT_PAIRS_SQL,
         "phash_dedup_clusters": _PHASH_CLUSTERS_SQL,

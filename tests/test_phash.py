@@ -262,3 +262,56 @@ def test_phash_dct_nonsquare_input_sampled():
     rows = (np.arange(16) * 48) // 16
     cols = (np.arange(16) * 32) // 16
     assert phash_dct64(big) == phash_dct64(big[np.ix_(rows, cols)])
+
+
+def _dhash_ref(img):
+    """Independent reference: explicit double loop over the 8x9 grid."""
+    h, w = img.shape
+    rows = [(r * h) // 8 for r in range(8)]
+    cols = [(c * w) // 9 for c in range(9)]
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if int(img[rows[r], cols[c + 1]]) > int(img[rows[r], cols[c]]):
+                v |= 1 << (r * 8 + c)
+    return v if v < (1 << 63) else v - (1 << 64)
+
+
+def test_dhash64_matches_reference():
+    from osm2garmin_spark.functions.phash import dhash64
+
+    rng = np.random.RandomState(7)
+    for shape in [(16, 16), (8, 9), (33, 21), (100, 100)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        assert dhash64(img) == _dhash_ref(img), shape
+
+
+def test_dhash_monotone_brightness_invariant():
+    """Gradient signs survive any strictly-monotone pixel remap — the
+    robustness class the mean-threshold hash does NOT have."""
+    from osm2garmin_spark.functions.phash import dhash64, phash64
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 121, (16, 16)).astype(np.uint8)
+    # strictly monotone on 0..127: f(v) = 2v + v//8 (increments >= 2)
+    lut = (2 * np.arange(121) + np.arange(121) // 8).astype(np.uint8)  # max 255, no wrap
+    assert (np.diff(lut.astype(int)) > 0).all()
+    remapped = lut[img]
+    assert dhash64(remapped) == dhash64(img)
+    # contrast: the mean-threshold hash is NOT invariant to this remap
+    assert phash64(remapped) != phash64(img)
+
+
+def test_dhash_near_pairs_match_brute_force(spark):
+    from osm2garmin_spark.functions.phash import (dhash64, dhash_from_bytes,
+                                                  phash_near_pairs)
+
+    imgs = synth_images(spark, 250, partitions=4)
+    dh = dhash_from_bytes(imgs.filter("fmt in ('raw','png')"))
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in phash_near_pairs(dh, phash_col="dhash_computed",
+                                     max_hamming=3).collect()}
+    rows = dh.collect()
+    want = _brute_pairs([r["image_id"] for r in rows],
+                        [r["dhash_computed"] & ((1 << 64) - 1) for r in rows], 3)
+    assert got == want and len(want) > 0
