@@ -382,3 +382,165 @@ def embedding_near_pairs(df: DataFrame, threshold: float,
     return (j.withColumn("sim", cosine_pairs(F.col("_va"), F.col("_vb")))
              .filter(F.col("sim") >= threshold)
              .select("id_a", "id_b", "sim"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — public algorithm)
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(corpus: DataFrame, vec_col: str, dim: int,
+                       m: int, ksub: int, id_col: str,
+                       sample: int = 4096, iters: int = 5,
+                       sample_vecs: Optional[np.ndarray] = None) -> np.ndarray:
+    """Deterministic per-subspace k-means: split each unit-normalized
+    sample vector into ``m`` contiguous ``dim/m``-dim subvectors and
+    train an independent ``ksub``-word codebook per subspace (init from
+    the first ksub sample rows, Lloyd iterations in driver numpy — the
+    same zero-Spark-jobs build discipline as train_ivf_centroids when
+    ``sample_vecs`` comes from parquet footers / catalog stats).
+    Returns (m, ksub, dim/m) float64."""
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    if sample_vecs is not None:
+        X = _unit_rows(np.asarray(sample_vecs, dtype=np.float64))
+    else:
+        rows = corpus.select(id_col, vec_col).limit(sample).collect()
+        rows.sort(key=lambda r: r[0])
+        X = _unit_rows(np.vstack([np.asarray(r[1], dtype=np.float64)
+                                  for r in rows]))
+    dsub = dim // m
+    k = min(ksub, len(X))
+    books = np.zeros((m, k, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str,
+              codebooks: np.ndarray) -> DataFrame:
+    """(id, code) — each unit-normalized vector compressed to m bytes:
+    per subspace, the index of the nearest codeword (L2). One numpy
+    distance matrix per Arrow batch per subspace; the float vectors
+    never leave the scan stage."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = bc.value
+        m, k, dsub = B.shape
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = _unit_rows(_vstack(pdf[vec_col]))
+            codes = np.zeros((len(pdf), m), dtype=np.int16)
+            for j in range(m):
+                S = V[:, j * dsub:(j + 1) * dsub]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "code": list(codes)})
+
+    return (df.select(id_col, vec_col)
+            .mapInPandas(kernel, schema=f"{id_col} {id_type}, "
+                         f"code array<smallint>"))
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
+            m: int = 8, ksub: int = 16, rerank: Optional[int] = None,
+            q_id: str = "q_id", q_vec: str = "q_vec",
+            c_id: str = "c_id", c_vec: str = "c_vec",
+            sample_vecs: Optional[np.ndarray] = None) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    the corpus is scanned as m-byte codes; each query carries an
+    (m, ksub) lookup table of subspace dot products, so a candidate's
+    approximate cosine is m table lookups — no float vectors move.
+
+    Per Arrow batch the kernel emits only the per-query top-``rerank``
+    candidates (map-side top-k, same discipline as cosine_topk), the
+    global window keeps the best ``rerank`` per query, and an EXACT
+    cosine re-rank of those few rows produces the final ranking — so
+    ties and float noise in the approximate stage can only cost recall,
+    never produce a nondeterministic ranking. rerank defaults to 8*k.
+
+    Scale story: 64-dim float32 vectors compress 32:1 (256 B -> 8 B);
+    the ADC scan is embarrassingly parallel with zero corpus shuffle
+    (the only shuffled rows are batches x rerank x queries candidates),
+    and at 10^12 rows PQ composes with IVF (probe lists first, ADC-scan
+    inside them) — the composition is the published IVFADC layout.
+    """
+    if rerank is None:
+        rerank = 8 * k
+    if rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
+    books = train_pq_codebooks(corpus, c_vec, dim, m, ksub, c_id,
+                               sample_vecs=sample_vecs)
+    codes = pq_encode(corpus, c_id, c_vec, books)
+
+    qrows = queries.select(q_id, q_vec).collect()
+    qrows.sort(key=lambda r: r[0])
+    q_ids = [r[0] for r in qrows]
+    Q = _unit_rows(np.vstack([np.asarray(r[1], dtype=np.float64)
+                              for r in qrows]))
+    mm, kk, dsub = books.shape
+    # LUT[q, j, c] = <query subvector j, codeword c> ; approximate cosine
+    # of (q, x) = sum_j LUT[q, j, code_x[j]]
+    lut = np.einsum("qjd,jcd->qjc",
+                    Q.reshape(len(Q), mm, dsub), books)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, lut, rerank))
+    id_type = corpus.schema[c_id].dataType.simpleString()
+    qid_type = queries.schema[q_id].dataType.simpleString()
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, L, R = bc.value
+        nq = len(ids)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            C = np.vstack(pdf["code"].to_numpy()).astype(np.int64)  # (n, m)
+            # sims[x, q] = sum_j L[q, j, C[x, j]]
+            sims = np.zeros((n, nq))
+            for j in range(L.shape[1]):
+                sims += L[:, j, C[:, j]].T       # (n, nq)
+            take = min(R, n)
+            # per-query top-R within the batch (stable row order)
+            top = np.argsort(-sims, axis=0, kind="stable")[:take]  # (take, nq)
+            qi = np.tile(np.arange(nq), take)
+            xi = top.reshape(-1)
+            yield pd.DataFrame({
+                q_id: [ids[q] for q in qi],
+                c_id: pdf[c_id].to_numpy()[xi],
+                "_approx": sims[xi, qi],
+            })
+
+    cand = codes.mapInPandas(
+        scan, schema=f"{q_id} {qid_type}, {c_id} {id_type}, _approx double")
+    cand = cand.filter(F.col(q_id) != F.col(c_id))
+    wa = Window.partitionBy(q_id).orderBy(F.col("_approx").desc(),
+                                          F.col(c_id).asc())
+    shortlist = (cand.withColumn("_arnk", F.row_number().over(wa))
+                 .filter(F.col("_arnk") <= rerank)
+                 .select(q_id, c_id))
+    # exact re-rank of the shortlist
+    qv = queries.select(q_id, F.col(q_vec).alias("_qv"))
+    cv = corpus.select(c_id, F.col(c_vec).alias("_cv"))
+    j = shortlist.join(F.broadcast(qv), q_id).join(cv, c_id)
+    sim = cosine_pairs(F.col("_qv"), F.col("_cv"))
+    w = Window.partitionBy(q_id).orderBy(F.col("_sim").desc(),
+                                         F.col(c_id).asc())
+    return (j.withColumn("_sim", sim)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(q_id, c_id, "rnk", F.col("_sim").alias("sim")))

@@ -2474,6 +2474,24 @@ def ann_ivf_top3(spark, sf_dir):
     return out.select("q_id", "c_id", "rnk")
 
 
+def ann_pq_top3(spark, sf_dir):
+    """Product-quantization approximate top-3 (Jégou et al. 2011): the
+    corpus scans as 8-byte codes (32:1 over the float32 vectors), each
+    query scores candidates by LUT lookups (ADC), exact re-rank of the
+    per-query shortlist. The memory-bound scale path — compare with
+    embed_top3 (exact) / ann_lsh_top3 / ann_ivf_top3; at 10^12 rows PQ
+    composes with IVF into the published IVFADC layout."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    corpus = emb.select(F.col("vec_id").alias("c_id"),
+                        F.col("embedding").alias("c_vec"))
+    sv = _parquet_sample_vecs(sf_dir, "embeddings", "vec_id", "embedding", 4096)
+    out = S.pq_topk(queries, corpus, k=3, dim=64, m=8, ksub=256,
+                    rerank=48, sample_vecs=sv)
+    return out.select("q_id", "c_id", "rnk")
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -2874,6 +2892,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": minhash_candidates,
         "ann_lsh_top3": ann_lsh_top3,
         "ann_ivf_top3": ann_ivf_top3,
+        "ann_pq_top3": ann_pq_top3,
         "phash_near_pairs_images": phash_near_pairs_images,
         "dhash_near_pairs_images": dhash_near_pairs_images,
         "phash128_near_pairs_images": phash128_near_pairs_images,
@@ -3023,6 +3042,15 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         # centroids, and legitimately dip below recall 1.0 — that path is
         # covered by the pytest recall pin, not by this equality oracle.
         "ann_ivf_top3": _EMBED_SQL,
+        # ann_pq_top3: same env-gated exact-equality reasoning as IVF —
+        # at the pinned sf0.01 gate the PQ shortlist (m=8, ksub=256,
+        # rerank=48) has measured recall 1.0 and the exact re-rank makes
+        # the final ranking identical to the brute-force twin; the
+        # recall<1 regime is covered by the pytest recall pin. The
+        # codebook k-means is not SQL-reproducible (same float-order
+        # argument as IVF), so equality is only claimed where recall is
+        # exactly 1.
+        "ann_pq_top3": _EMBED_SQL,
     }
     # ADVICE r4: the ann_ivf_top3 exact-equality oracle only holds where
     # its two environment assumptions do — the PINNED gate dir (sf0.01,
@@ -3041,4 +3069,5 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         if not pinned or _parquet_sample_vecs(
                 sf_dir, "embeddings", "vec_id", "embedding", 4096) is None:
             out.pop("ann_ivf_top3")
+            out.pop("ann_pq_top3")
     return out

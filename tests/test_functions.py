@@ -486,3 +486,74 @@ def test_edit_refine_bad_args(spark):
         edit_refine(pairs, docs, max_dist=-1)
     with pytest.raises(ValueError, match="prefix"):
         edit_refine(pairs, docs, max_dist=1, prefix=0)
+
+
+def test_pq_topk_recall_and_exact_rerank(spark):
+    """PQ ADC shortlist + exact re-rank vs the brute-force twin on the
+    driver testdata: recall floor at sf0.001 (near-random embeddings, the
+    hard regime), plus survivors must carry the EXACT cosine ranking (the
+    re-rank stage, not the approximate order)."""
+    from osm2garmin_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["q_id"], r["c_id"], r["rnk"])
+             for r in Q.embed_top3(spark, sf).collect()}
+    pq = {(r["q_id"], r["c_id"], r["rnk"])
+          for r in Q.ann_pq_top3(spark, sf).collect()}
+    e_pairs = {(a, b) for a, b, _ in exact}
+    p_pairs = {(a, b) for a, b, _ in pq}
+    assert len(exact) == 60
+    assert len(p_pairs & e_pairs) / len(e_pairs) >= 0.75
+    # where PQ found the true top-3 for a query, ranks must agree exactly
+    by_q_exact = {}
+    for a, b, r in exact:
+        by_q_exact.setdefault(a, set()).add((b, r))
+    for a, b, r in pq:
+        if {(bb, rr) for bb, rr in by_q_exact[a]
+            if (a, bb) in p_pairs} == by_q_exact[a]:
+            assert (b, r) in by_q_exact[a], (a, b, r)
+
+
+def test_pq_codebooks_deterministic_and_shaped():
+    import numpy as np
+    from osm2garmin_spark.functions.similarity import train_pq_codebooks
+
+    rng = np.random.RandomState(5)
+    sample = rng.randn(300, 64)
+    b1 = train_pq_codebooks(None, "v", 64, 8, 16, "id", sample_vecs=sample)
+    b2 = train_pq_codebooks(None, "v", 64, 8, 16, "id", sample_vecs=sample)
+    assert b1.shape == (8, 16, 8)
+    assert (b1 == b2).all()
+
+
+def test_pq_encode_codes_bounded(spark):
+    import numpy as np
+    from osm2garmin_spark.functions.similarity import (pq_encode,
+                                                       train_pq_codebooks)
+
+    rng = np.random.RandomState(6)
+    sample = rng.randn(200, 16)
+    books = train_pq_codebooks(None, "v", 16, 4, 8, "id", sample_vecs=sample)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(16)]) for i in range(50)],
+        "c_id long, c_vec array<float>")
+    rows = pq_encode(df, "c_id", "c_vec", books).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r["code"]) == 4
+        assert all(0 <= c < 8 for c in r["code"])
+
+
+def test_pq_validation_errors(spark):
+    import numpy as np
+    import pytest
+    from osm2garmin_spark.functions.similarity import (pq_topk,
+                                                       train_pq_codebooks)
+
+    with pytest.raises(ValueError, match="must divide"):
+        train_pq_codebooks(None, "v", 64, 7, 16, "id",
+                           sample_vecs=np.zeros((10, 64)))
+    df = spark.createDataFrame([(0, [0.0] * 8)], "q_id long, q_vec array<float>")
+    with pytest.raises(ValueError, match="rerank"):
+        pq_topk(df, df.selectExpr("q_id as c_id", "q_vec as c_vec"),
+                k=5, dim=8, rerank=2, sample_vecs=np.zeros((10, 8)))
