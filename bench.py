@@ -223,7 +223,17 @@ def main():
                 "image_decode_stats", "video_frame_stats",
                 "audio_window_features", "sessionize_events",
                 "stream_tumbling_counts", "stream_session_windows",
-                "apply_changes_gated", "tiling_pipeline_counts"]
+                "apply_changes_gated", "tiling_pipeline_counts",
+                # round 6: as-of join, deterministic sampling, trajectory,
+                # edit refine, PQ ANN. dhash_near_pairs_images is gate-only:
+                # the synthetic gradient corpus collapses dHash entropy
+                # (horizontal gradient signs depend mostly on id%7), so at
+                # sf0.1 its buckets go quadratic — a property of this
+                # corpus, not the plan; documented in BENCH.md
+                "asof_latest_order_per_event", "asof_next_order_per_event",
+                "sample_events_hash", "sample_events_balanced",
+                "track_lengths_per_user", "near_dup_edit_refine",
+                "ann_pq_top3"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).write
               .format("noop").mode("overwrite").save())
