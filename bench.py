@@ -231,6 +231,7 @@ def main():
                 # sf0.1 its buckets go quadratic — a property of this
                 # corpus, not the plan; documented in BENCH.md
                 "asof_latest_order_per_event", "asof_next_order_per_event",
+                "clicks_in_error_windows",
                 "sample_events_hash", "sample_events_balanced",
                 "track_lengths_per_user", "near_dup_edit_refine",
                 "ann_pq_top3"]

@@ -454,6 +454,40 @@ def _sample_balanced_sql() -> str:
     return f"SELECT event_id, event_type FROM ({inner})"
 
 
+def clicks_in_error_windows(spark, sf_dir):
+    """Interval point-in-window join (operators/interval_join.py): every
+    click inside a 2-hour incident window opened by an error event — a
+    keyless temporal containment join, bucket-blocked so the candidate
+    volume is per-bucket, never |clicks| × |errors|."""
+    from .operators.interval_join import interval_point_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("incident_id"),
+                      F.col("ts").alias("incident_start")))
+    out = interval_point_join(clicks, errors, point_ts="click_ts",
+                              start_ts="incident_start",
+                              span_sec=F.lit(7200.0), max_span_sec=7200.0)
+    return out.select("click_id", "incident_id")
+
+
+def _interval_join_sql() -> str:
+    from .operators.interval_join import interval_point_join_sql
+
+    inner = interval_point_join_sql(
+        points_table=("(SELECT event_id AS click_id, ts AS click_ts "
+                      "FROM events WHERE event_type = 'click')"),
+        intervals_table=("(SELECT event_id AS incident_id, ts AS "
+                         "incident_start FROM events WHERE event_type = "
+                         "'error')"),
+        point_ts="click_ts", start_ts="incident_start",
+        span_sec_sql="7200.0")
+    return f"SELECT click_id, incident_id FROM ({inner})"
+
+
 def asof_latest_order_per_event(spark, sf_dir):
     """Distributed as-of join (operators/asof_join.py): every event gets
     the user's most recent order at-or-before the event timestamp —
@@ -2880,6 +2914,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "asof_latest_order_per_event": asof_latest_order_per_event,
         "asof_next_order_per_event": asof_next_order_per_event,
+        "clicks_in_error_windows": clicks_in_error_windows,
         "sample_events_hash": sample_events_hash,
         "sample_events_stratified": sample_events_stratified,
         "sample_events_balanced": sample_events_balanced,
@@ -3014,6 +3049,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "audio_window_features": _AUDIO_FEATURES_SQL,
         "asof_latest_order_per_event": _asof_backward_sql(),
         "asof_next_order_per_event": _asof_forward_sql(),
+        "clicks_in_error_windows": _interval_join_sql(),
         "sample_events_hash": _sample_hash_sql(),
         "sample_events_stratified": _sample_stratified_sql(),
         "sample_events_balanced": _sample_balanced_sql(),
