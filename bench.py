@@ -220,7 +220,8 @@ def main():
                 "phash_near_pairs_images", "phash_dct_near_pairs_images",
                 "phash_dedup_clusters",
                 "ann_lsh_top3", "ann_ivf_top3",
-                "image_decode_stats", "video_frame_stats",
+                "image_decode_stats", "image_histogram_features",
+                "video_frame_stats",
                 "audio_window_features", "sessionize_events",
                 "stream_tumbling_counts", "stream_session_windows",
                 "apply_changes_gated", "tiling_pipeline_counts",

@@ -131,3 +131,37 @@ def decode_stats(images: DataFrame) -> DataFrame:
     executors; only small numeric columns come back)."""
     cols = images.select("image_id", "bytes", "w", "h", "fmt")
     return cols.mapInPandas(decode_stats_map, schema=DECODE_STATS_SCHEMA)
+
+
+def histogram_features(images: DataFrame, bins: int = 16) -> DataFrame:
+    """Per-image intensity histogram over the decoded pixels — the
+    feature-extraction stage of the multimodal pipeline (input to
+    quality filters, near-dup pre-clustering, and class balancing).
+    Returns (image_id, hist array<long> of length ``bins``); counts are
+    exact integers so the feature is engine-portable (the gate oracle
+    recomputes it per-format: raw/png bit-exact, q6 through the SAME
+    midpoint reconstruction — the oracle covers the LOSSY format too,
+    unlike the fingerprint oracles, because the decode is closed-form).
+    Decode runs Arrow-batched on executors; only ``bins`` longs per
+    image leave the scan."""
+    if not (1 <= bins <= 256) or 256 % bins != 0:
+        raise ValueError(f"bins must divide 256, got {bins}")
+    shift = 8 - (bins.bit_length() - 1)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            hists = []
+            for i in range(n):
+                img = decode_image(pdf["bytes"].iat[i],
+                                   int(pdf["w"].iat[i]),
+                                   int(pdf["h"].iat[i]),
+                                   pdf["fmt"].iat[i])
+                hists.append(np.bincount(img.reshape(-1) >> shift,
+                                         minlength=bins).astype(np.int64))
+            yield pd.DataFrame({"image_id": pdf["image_id"].to_numpy(),
+                                "hist": hists})
+
+    cols = images.select("image_id", "bytes", "w", "h", "fmt")
+    return cols.mapInPandas(kernel,
+                            schema=f"image_id string, hist array<long>")

@@ -2098,6 +2098,45 @@ def image_decode_stats(spark, sf_dir):
     return decode_stats(images).select("image_id", "p_min", "p_max")
 
 
+def image_histogram_features(spark, sf_dir):
+    """Per-image 16-bin intensity histogram through the real decode path
+    (operators/raster.histogram_features) — ALL THREE formats including
+    the lossy q6, whose midpoint reconstruction the oracle reproduces
+    exactly (the decode is closed-form, unlike a DCT codec)."""
+    from .pipeline.synth import _gen_map
+    from .operators.raster import histogram_features
+
+    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
+                              "w int, h int, fmt string, caption string, phash long")
+    out = histogram_features(images, bins=16)
+    return out.select(
+        F.regexp_replace("image_id", "^img", "").cast("long").alias("image_id"),
+        "hist")
+
+
+_IMAGE_HIST_SQL = """
+WITH ids AS (SELECT doc_id AS id FROM documents),
+px AS (
+  SELECT id, (xs.x * (id % 7 + 1) + ys.y * (id % 11 + 3) + id) % 256 AS v
+  FROM ids, range(16) xs(x), range(16) ys(y)),
+dec AS (
+  -- fmt by id%3: 0=raw, 1=png (both lossless), 2=q6 (2 LSBs dropped,
+  -- midpoint reconstruction LEAST(q*4+2, 255) — operators/raster.py)
+  SELECT id, CASE WHEN id % 3 = 2 THEN LEAST((v // 4) * 4 + 2, 255)
+                  ELSE v END AS d
+  FROM px),
+binned AS (SELECT id, d // 16 AS bin, COUNT(*) AS cnt
+           FROM dec GROUP BY id, d // 16),
+filled AS (
+  SELECT i.id, b.range AS bin, COALESCE(c.cnt, 0) AS cnt
+  FROM ids i CROSS JOIN range(16) b
+  LEFT JOIN binned c ON c.id = i.id AND c.bin = b.range)
+SELECT id AS image_id, list(cnt ORDER BY bin) AS hist
+FROM filled GROUP BY id
+"""
+
+
 def phash_near_pairs_images(spark, sf_dir):
     """Image near-duplicate pairs via pHash banded blocking — the image-
     payload twin of minhash_candidates. Synthesizes the deterministic
@@ -2922,6 +2961,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- LLM-data-pipeline block (driver attestation priority) ------
         "stream_tumbling_counts": stream_tumbling_counts,
         "stream_session_windows": stream_session_windows,
+        "image_histogram_features": image_histogram_features,
         "video_frame_stats": video_frame_stats,
         "audio_window_features": audio_window_features,
         "minhash_candidates": minhash_candidates,
@@ -3042,6 +3082,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "image_decode_stats": _IMG_STATS_SQL,
         "phash_near_pairs_images": _PHASH_PAIRS_SQL,
         "dhash_near_pairs_images": _DHASH_PAIRS_SQL,
+        "image_histogram_features": _IMAGE_HIST_SQL,
         "phash128_near_pairs_images": _PHASH128_PAIRS_SQL,
         "phash_dct_near_pairs_images": _PHASH_DCT_PAIRS_SQL,
         "phash_dedup_clusters": _PHASH_CLUSTERS_SQL,

@@ -90,3 +90,28 @@ def test_tile_verification_summary(spark):
         assert r["n_pixel_ok"] == r["n_rows"], "pixel invariant violated"
         assert r["n_caption_ok"] == r["n_rows"], "caption invariant violated"
         assert r["min_psnr"] >= 40.0
+
+
+def test_histogram_features_counts_and_formats(spark):
+    """Histogram counts vs local numpy decode for all three formats; sum
+    of bins == pixel count; bins validation."""
+    import numpy as np
+    import pytest
+    from osm2garmin_spark.operators.raster import (decode_image,
+                                                   histogram_features)
+    from osm2garmin_spark.pipeline.synth import synth_images
+
+    imgs = synth_images(spark, 90, partitions=3)
+    got = {r["image_id"]: list(r["hist"])
+           for r in histogram_features(imgs, bins=16).collect()}
+    rows = imgs.select("image_id", "bytes", "w", "h", "fmt").collect()
+    fmts_seen = set()
+    for r in rows:
+        img = decode_image(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+        want = np.bincount(img.reshape(-1) >> 4, minlength=16).tolist()
+        assert got[r["image_id"]] == want, (r["image_id"], r["fmt"])
+        assert sum(want) == r["w"] * r["h"]
+        fmts_seen.add(r["fmt"])
+    assert fmts_seen == {"raw", "png", "q6"}
+    with pytest.raises(ValueError, match="bins"):
+        histogram_features(imgs, bins=10)
