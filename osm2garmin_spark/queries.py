@@ -1821,6 +1821,103 @@ FROM documents
 """
 
 
+def doc_top_terms(spark, sf_dir):
+    """Per-document top-3 distinctive terms by integer-exact tf-idf-style
+    ranking: (term frequency DESC, document frequency ASC, term ASC) —
+    the float-free twin of tf·idf (idf is monotone-decreasing in df, so
+    for a fixed tf the rank order is identical, and the lexicographic
+    integer compare is exactly reproducible cross-engine where
+    engine-specific ln() last-ulp noise is not). Scale shape: one
+    (doc, term) count agg, a term-keyed df agg (stop-word heads are join
+    skew — AQE splits them), WindowGroupLimit top-k."""
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300).select("doc_id", "text"))
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (terms.select("doc_id", "term").distinct()
+          .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (tf.join(df, "term")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "term", "tf", "df", "rnk"))
+
+
+_DOC_TOP_TERMS_SQL = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+terms AS (
+  SELECT doc_id, w AS term
+  FROM docs, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term)
+SELECT doc_id, term, tf, df, rnk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+  FROM tf JOIN df ON tf.term = df.term
+) WHERE rnk <= 3
+"""
+
+
+def incremental_dedup_new_docs(spark, sf_dir):
+    """Incremental corpus dedup — the production shape: a NEW batch of
+    documents (doc_id >= 300) checked against the SEEN corpus
+    (doc_id < 300) by the same banded minhash-LSH, an ASYMMETRIC
+    candidate join (new x seen, never new x new or seen x seen): the
+    seen side's signatures would come from the catalog in a real
+    pipeline, so the incremental cost is |new| signature computations +
+    a bucket join, not a full-corpus rebuild. Returns each new doc with
+    its nearest seen near-dup (min seen id) — NULL-free: only flagged
+    docs emit."""
+    docs = _read(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") < 300)
+    new = docs.filter(F.col("doc_id") >= 300)
+    sig_seen = D.minhash_signatures(seen, "doc_id", "text", 1, 16)
+    sig_new = D.minhash_signatures(new, "doc_id", "text", 1, 16)
+
+    def buckets(sigs, idname):
+        rpb = 2  # 16 hashes / 8 bands
+        band_arrays = F.array(*[
+            F.concat_ws("_", F.lit(bi),
+                        *[F.element_at("sig", bi * rpb + j + 1)
+                          for j in range(rpb)])
+            for bi in range(8)])
+        return sigs.select(F.col("id").alias(idname),
+                           F.explode(band_arrays).alias("bucket"))
+
+    b_new = buckets(sig_new, "new_id")
+    b_seen = buckets(sig_seen, "seen_id")
+    cand = (b_new.join(b_seen, "bucket")
+            .select("new_id", "seen_id").distinct())
+    return (cand.groupBy("new_id")
+            .agg(F.min("seen_id").alias("dup_of"))
+            .select(F.col("new_id").alias("doc_id"), "dup_of"))
+
+
+def _incremental_dedup_sql() -> str:
+    # reuse the minhash CTE machinery over the FULL corpus, then restrict
+    # the pair set to the asymmetric new x seen cross section. The engine
+    # computes signatures per side; signatures are per-doc (side-blind),
+    # so the pair semantics coincide.
+    ctes = _minhash_pairs_ctes().replace(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300",
+        "SELECT doc_id, text FROM documents")
+    return f"""
+WITH {ctes}
+SELECT new_id AS doc_id, MIN(seen_id) AS dup_of FROM (
+  SELECT CASE WHEN doc_a >= 300 THEN doc_a ELSE doc_b END AS new_id,
+         CASE WHEN doc_a >= 300 THEN doc_b ELSE doc_a END AS seen_id
+  FROM pairs
+  WHERE (doc_a >= 300) <> (doc_b >= 300)
+) GROUP BY new_id
+"""
+
+
 def doc_fingerprints(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents") \
         .select("doc_id", "text") \
@@ -2973,6 +3070,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash128_near_pairs_images": phash128_near_pairs_images,
         "phash_dct_near_pairs_images": phash_dct_near_pairs_images,
         "near_dup_edit_refine": near_dup_edit_refine,
+        "incremental_dedup_new_docs": incremental_dedup_new_docs,
+        "doc_top_terms": doc_top_terms,
         "dedup_clusters_docs": dedup_clusters_docs,
         "crossmodal_dedup_clusters": crossmodal_dedup_clusters,
         "phash_dedup_clusters": phash_dedup_clusters,
@@ -3097,6 +3196,8 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "track_lengths_per_user": _track_lengths_sql(),
         "minhash_candidates": _minhash_sql(),
         "near_dup_edit_refine": _edit_refine_sql(),
+        "incremental_dedup_new_docs": _incremental_dedup_sql(),
+        "doc_top_terms": _DOC_TOP_TERMS_SQL,
         "dedup_clusters_docs": _dedup_clusters_sql(),
         "crossmodal_dedup_clusters": _crossmodal_clusters_sql(),
         "ann_lsh_top3": _ann_lsh_sql(),
