@@ -235,7 +235,12 @@ def main():
                 "clicks_in_error_windows",
                 "sample_events_hash", "sample_events_balanced",
                 "track_lengths_per_user", "near_dup_edit_refine",
-                "ann_pq_top3"]
+                "ann_pq_top3",
+                # round 6 closing: decontamination, pyramid rollup,
+                # bloom semi-join reduction, incremental dedup, top terms
+                "decontaminate_docs", "tile_pyramid_events",
+                "bloom_prune_lineitems", "incremental_dedup_new_docs",
+                "doc_top_terms"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).write
               .format("noop").mode("overwrite").save())

@@ -1918,6 +1918,92 @@ SELECT new_id AS doc_id, MIN(seen_id) AS dup_of FROM (
 """
 
 
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (functions/decontam.py): flag corpus
+    docs (doc_id >= 50) sharing any distinct 5-word-gram with the eval
+    set (doc_id < 50) — GPT-3-appendix-C-style n-gram overlap. Eval
+    grams broadcast; the corpus never shuffles its text, only the hit
+    rows reach the final groupBy."""
+    from .functions.decontam import contamination_hits
+
+    docs = _read(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") < 50)
+    # the shingle build is the CPU hot loop; spread the single-file scan
+    # before it (one narrow-to-wide exchange of raw text, the same
+    # discipline as doc_fingerprints)
+    corpus = docs.filter(F.col("doc_id") >= 50).repartition(
+        spark.sparkContext.defaultParallelism)
+    return contamination_hits(corpus, evalset, "doc_id", "text", n=5)
+
+
+def _decontam_sql() -> str:
+    from .functions.decontam import contamination_hits_sql
+    return contamination_hits_sql(n=5, eval_pred="doc_id < 50",
+                                  corpus_pred="doc_id >= 50")
+
+
+def tile_pyramid_events(spark, sf_dir):
+    """Web-Mercator tile pyramid (operators/pyramid.py): per-tile event
+    counts + value sums at zooms 6..10, raw points shuffled ONCE at
+    z=10 and each coarser level rolled up 4:1 from the previous level's
+    aggregates via parent = (x>>1, y>>1). The oracle computes EVERY
+    level independently from the raw points, so value equality proves
+    the floor-shift rollup identity exact through IEEE."""
+    from .operators.pyramid import tile_pyramid
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "value",
+        derived_lat(F.col("event_id")).alias("lat"),
+        derived_lon(F.col("event_id")).alias("lon"))
+    return tile_pyramid(ev, "lat", "lon", base_zoom=10, min_zoom=6,
+                        weight_col="value")
+
+
+def _tile_pyramid_sql() -> str:
+    from .geo.webmercator import slippy_x_sql, slippy_y_sql
+    levels = []
+    for z in range(6, 11):
+        levels.append(
+            f"SELECT {z} AS zoom, {slippy_x_sql('lon', z)} AS x, "
+            f"{slippy_y_sql('lat', z)} AS y, COUNT(*) AS n, "
+            f"SUM(value) AS wsum FROM pts GROUP BY 2, 3")
+    body = "\nUNION ALL\n".join(levels)
+    return (f"WITH pts AS (SELECT event_id, value, "
+            f"{derived_lat_sql('event_id')} AS lat, "
+            f"{derived_lon_sql('event_id')} AS lon FROM events)\n{body}")
+
+
+def bloom_prune_lineitems(spark, sf_dir):
+    """Broadcast-bloom semi-join reduction (operators/bloom_join.py):
+    lineitems of URGENT orders, the fact side pruned by a bloom of the
+    dim keys BEFORE any exchange (k pure-JVM probes into a literal word
+    array), then the exact semi join removes the ~fpp false positives —
+    result bit-identical to the plain semi join the oracle runs.
+    n_keys is a deliberate over-estimate (catalog-stats shape): it only
+    lowers the realized fpp."""
+    from .operators.bloom_join import bloom_semi_join
+
+    orders = _read(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT") \
+                   .select("o_orderkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    hit = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey",
+                          n_keys=200_000, fpp=0.01)
+    return (hit.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("l_quantity").alias("sum_qty")))
+
+
+_BLOOM_PRUNE_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
 def doc_fingerprints(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents") \
         .select("doc_id", "text") \
@@ -3072,6 +3158,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_edit_refine": near_dup_edit_refine,
         "incremental_dedup_new_docs": incremental_dedup_new_docs,
         "doc_top_terms": doc_top_terms,
+        "decontaminate_docs": decontaminate_docs,
+        "tile_pyramid_events": tile_pyramid_events,
+        "bloom_prune_lineitems": bloom_prune_lineitems,
         "dedup_clusters_docs": dedup_clusters_docs,
         "crossmodal_dedup_clusters": crossmodal_dedup_clusters,
         "phash_dedup_clusters": phash_dedup_clusters,
@@ -3198,6 +3287,9 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "near_dup_edit_refine": _edit_refine_sql(),
         "incremental_dedup_new_docs": _incremental_dedup_sql(),
         "doc_top_terms": _DOC_TOP_TERMS_SQL,
+        "decontaminate_docs": _decontam_sql(),
+        "tile_pyramid_events": _tile_pyramid_sql(),
+        "bloom_prune_lineitems": _BLOOM_PRUNE_SQL,
         "dedup_clusters_docs": _dedup_clusters_sql(),
         "crossmodal_dedup_clusters": _crossmodal_clusters_sql(),
         "ann_lsh_top3": _ann_lsh_sql(),
