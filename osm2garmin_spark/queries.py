@@ -2004,6 +2004,101 @@ GROUP BY l_returnflag
 """
 
 
+def doc_similar_top3(spark, sf_dir):
+    """Sparse lexical retrieval (functions/retrieval.py): top-3 corpus
+    docs per query doc by EXACT integer tf dot product over an
+    inverted-index join, with the df>400 stop-head cutoff (the
+    published df-cutoff pruning — on this corpus's 31-term vocabulary
+    it drops the universal head terms, which are precisely the
+    quadratic posting buckets)."""
+    from .functions.retrieval import similar_topk
+
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    qids = docs.filter(F.col("doc_id") < 20).select("doc_id")
+    return similar_topk(docs, qids, k=3, max_df=400)
+
+
+def _doc_similar_sql() -> str:
+    from .functions.retrieval import similar_topk_sql
+    return similar_topk_sql(3, "doc_id < 20", max_df=400)
+
+
+def funnel_signup_click_purchase(spark, sf_dir):
+    """Windowed funnel (operators/funnel.py): users completing signup →
+    click → purchase with every consecutive gap ≤ 4 h, matched with
+    ONLY window functions over one user-keyed sort — the linear-scan
+    twin of the m-way self-join funnel, whose candidate space explodes
+    on hot users. Greedy latest-qualifying-predecessor state is
+    complete for existence (deadlines only relax as timestamps grow)."""
+    from .operators.funnel import funnel_user_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel_user_counts(ev, "user_id", "ts", "event_id",
+                              ["signup", "click", "purchase"],
+                              "event_type", within_sec=14400)
+
+
+_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  epoch(CAST(ts AS TIMESTAMP)) AS ep FROM events),
+s1 AS (SELECT *, MAX(CASE WHEN event_type = 'signup' THEN ep END)
+         OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1_ts
+       FROM e),
+s1p AS (SELECT *, MAX(CASE WHEN event_type = 'signup' THEN ep END)
+          OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s1_prev
+        FROM s1),
+s2 AS (SELECT *, MAX(CASE WHEN event_type = 'click' AND s1_prev IS NOT NULL
+                          AND ep - s1_prev <= 14400.0 THEN ep END)
+         OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2_ts
+       FROM s1p),
+s2p AS (SELECT *, MAX(CASE WHEN event_type = 'click' AND s1_prev IS NOT NULL
+                           AND ep - s1_prev <= 14400.0 THEN ep END)
+          OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s2_prev
+        FROM s2),
+s3 AS (SELECT *, MAX(CASE WHEN event_type = 'purchase' AND s2_prev IS NOT NULL
+                          AND ep - s2_prev <= 14400.0 THEN ep END)
+         OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s3_ts
+       FROM s2p),
+pu AS (SELECT user_id,
+              MAX(s1_ts IS NOT NULL) AS r1, MAX(s2_ts IS NOT NULL) AS r2,
+              MAX(s3_ts IS NOT NULL) AS r3
+       FROM s3 GROUP BY user_id)
+SELECT stage, n_users FROM (
+  SELECT 1 AS stage, CAST(COUNT(*) FILTER (r1) AS BIGINT) AS n_users FROM pu
+  UNION ALL
+  SELECT 2, CAST(COUNT(*) FILTER (r2) AS BIGINT) FROM pu
+  UNION ALL
+  SELECT 3, CAST(COUNT(*) FILTER (r3) AS BIGINT) FROM pu)
+"""
+
+
+def kmeans_embed_clusters(spark, sf_dir):
+    """Integer-exact Lloyd k-means (functions/kmeans.py): embeddings
+    quantized to int64 (floor at 1e6 — identical doubles floor
+    identically), 2 full iterations from the first-k init, squared-L2
+    assignment with lowest-cluster tie-break, floor-division centroid
+    update. The oracle unrolls the SAME iterations in SQL, so value
+    equality pins every assignment of every round — a floating k-means
+    could never pass this gate (sum-order/tie noise)."""
+    from .functions.kmeans import kmeans_fit
+
+    emb = _read(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2,
+                             dim=64)
+    return assigned
+
+
+def _kmeans_sql() -> str:
+    from .functions.kmeans import kmeans_sql
+    return kmeans_sql(k=4, iters=2, dim=64)
+
+
 def doc_fingerprints(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents") \
         .select("doc_id", "text") \
@@ -3161,6 +3256,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "tile_pyramid_events": tile_pyramid_events,
         "bloom_prune_lineitems": bloom_prune_lineitems,
+        "kmeans_embed_clusters": kmeans_embed_clusters,
+        "funnel_signup_click_purchase": funnel_signup_click_purchase,
+        "doc_similar_top3": doc_similar_top3,
         "dedup_clusters_docs": dedup_clusters_docs,
         "crossmodal_dedup_clusters": crossmodal_dedup_clusters,
         "phash_dedup_clusters": phash_dedup_clusters,
@@ -3290,6 +3388,9 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "decontaminate_docs": _decontam_sql(),
         "tile_pyramid_events": _tile_pyramid_sql(),
         "bloom_prune_lineitems": _BLOOM_PRUNE_SQL,
+        "kmeans_embed_clusters": _kmeans_sql(),
+        "funnel_signup_click_purchase": _FUNNEL_SQL,
+        "doc_similar_top3": _doc_similar_sql(),
         "dedup_clusters_docs": _dedup_clusters_sql(),
         "crossmodal_dedup_clusters": _crossmodal_clusters_sql(),
         "ann_lsh_top3": _ann_lsh_sql(),
