@@ -52,18 +52,27 @@ def contamination_hits(corpus: DataFrame, evalset: DataFrame,
                 .select(F.split(F.col(text_col), " ").alias("_w"))
                 .select(F.explode(F.array_distinct(
                     word_shingles_from(F.col("_w"), n))).alias("g"))
-                .distinct())
+                .distinct()
+                .withColumn("_hit", F.lit(1)))
     doc_grams = (corpus
                  .select(F.col(id_col).alias("id"),
                          F.split(F.col(text_col), " ").alias("_w"))
-                 .select("id", F.array_distinct(
-                     word_shingles_from(F.col("_w"), n)).alias("grams"))
-                 .select("id", F.size("grams").alias("total_grams"),
-                         F.explode("grams").alias("g")))
+                 .select("id", F.explode(F.array_distinct(
+                     word_shingles_from(F.col("_w"), n))).alias("g")))
+    # LEFT broadcast join + one aggregation counts hits AND the doc's
+    # total distinct grams in a single text pass. (Carrying
+    # size(grams) as a column through the explode instead re-evaluates
+    # the full shingle expression per exploded row — Catalyst inlines
+    # the multiply-referenced alias across the Generate boundary;
+    # measured 6.4 s vs 0.4 s over 5k docs. The exchange now carries
+    # one partial-agg row per doc rather than per flagged doc — still
+    # narrow and linear.)
     return (doc_grams
-            .join(F.broadcast(ev_grams), "g")
-            .groupBy("id", "total_grams")
-            .agg(F.count(F.lit(1)).alias("hit_grams"))
+            .join(F.broadcast(ev_grams), "g", "left")
+            .groupBy("id")
+            .agg(F.count("_hit").alias("hit_grams"),
+                 F.count(F.lit(1)).alias("total_grams"))
+            .filter(F.col("hit_grams") > 0)
             .select(F.col("id").alias(id_col), "hit_grams", "total_grams"))
 
 
