@@ -165,3 +165,63 @@ def histogram_features(images: DataFrame, bins: int = 16) -> DataFrame:
     cols = images.select("image_id", "bytes", "w", "h", "fmt")
     return cols.mapInPandas(kernel,
                             schema=f"image_id string, hist array<long>")
+
+
+def downsample2x(img: np.ndarray) -> np.ndarray:
+    """One mipmap level: 2×2 box filter with exact FLOOR-average
+    (sum // 4) — integer semantics every engine reproduces, unlike a
+    float mean + round. Odd trailing rows/columns are cropped (the
+    standard mipmap convention for non-power-of-two edges)."""
+    h, w = img.shape
+    if h < 2 or w < 2:
+        raise ValueError(f"image too small to downsample: {h}x{w}")
+    c = img[:h // 2 * 2, :w // 2 * 2].astype(np.int64)
+    s = c.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+    return (s // 4).astype(np.uint8)
+
+
+def pyramid_stats(images: DataFrame, levels: int = 2) -> DataFrame:
+    """Mipmap pyramid build + per-level stats through the real decode
+    path: (image_id, level, p_min, p_max, p_sum) for level 0 (full
+    resolution) through ``levels`` successive 2×2 floor-average
+    reductions — the thumbnail/pyramid stage of an image corpus
+    (training-shard previews, multi-resolution dedup, web tiles).
+
+    Scale shape: Arrow-batched mapInPandas; every level derives from
+    the PREVIOUS level's array in executor memory (the full-res pixels
+    are touched once), and only 3 longs per (image, level) leave the
+    scan. The same rollup-from-previous-level discipline as the
+    Web-Mercator tile pyramid (operators/pyramid.py), applied inside
+    each image instead of across tiles."""
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, lvl = [], []
+            mn, mx, sm = [], [], []
+            for i in range(len(pdf)):
+                img = decode_image(pdf["bytes"].iat[i],
+                                   int(pdf["w"].iat[i]),
+                                   int(pdf["h"].iat[i]),
+                                   pdf["fmt"].iat[i])
+                cur = img
+                for lv in range(levels + 1):
+                    ids.append(pdf["image_id"].iat[i])
+                    lvl.append(lv)
+                    mn.append(int(cur.min()))
+                    mx.append(int(cur.max()))
+                    sm.append(int(cur.astype(np.int64).sum()))
+                    if lv < levels:
+                        cur = downsample2x(cur)
+            yield pd.DataFrame({
+                "image_id": ids,
+                "level": np.asarray(lvl, dtype=np.int32),
+                "p_min": np.asarray(mn, dtype=np.int32),
+                "p_max": np.asarray(mx, dtype=np.int32),
+                "p_sum": np.asarray(sm, dtype=np.int64)})
+
+    cols = images.select("image_id", "bytes", "w", "h", "fmt")
+    return cols.mapInPandas(
+        kernel, schema="image_id string, level int, p_min int, "
+                       "p_max int, p_sum long")

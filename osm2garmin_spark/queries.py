@@ -2415,6 +2415,52 @@ FROM filled GROUP BY id
 """
 
 
+def image_pyramid_stats(spark, sf_dir):
+    """Mipmap pyramid through the real decode path
+    (operators/raster.pyramid_stats): levels 0..2 of the 2×2
+    floor-average reduction with per-level integer stats. The oracle
+    rebuilds every level from the closed-form pixel generator —
+    including the lossy q6 decode — so value equality pins the exact
+    box-filter arithmetic at each level."""
+    from .pipeline.synth import _gen_map
+    from .operators.raster import pyramid_stats
+
+    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
+                              "w int, h int, fmt string, caption string, phash long")
+    out = pyramid_stats(images, levels=2)
+    return out.select(
+        F.regexp_replace("image_id", "^img", "").cast("long").alias("image_id"),
+        "level", "p_min", "p_max", "p_sum")
+
+
+_IMAGE_PYRAMID_SQL = """
+WITH ids AS (SELECT doc_id AS id FROM documents),
+px AS (
+  SELECT id, xs.x, ys.y,
+         (xs.x * (id % 7 + 1) + ys.y * (id % 11 + 3) + id) % 256 AS v
+  FROM ids, range(16) xs(x), range(16) ys(y)),
+dec AS (
+  SELECT id, x, y, CASE WHEN id % 3 = 2 THEN LEAST((v // 4) * 4 + 2, 255)
+                        ELSE v END AS d
+  FROM px),
+l1 AS (SELECT id, x // 2 AS x, y // 2 AS y, SUM(d) // 4 AS d
+       FROM dec GROUP BY id, x // 2, y // 2),
+l2 AS (SELECT id, x // 2 AS x, y // 2 AS y, SUM(d) // 4 AS d
+       FROM l1 GROUP BY id, x // 2, y // 2)
+SELECT id AS image_id, level, p_min, p_max, p_sum FROM (
+  SELECT id, 0 AS level, CAST(MIN(d) AS INT) AS p_min,
+         CAST(MAX(d) AS INT) AS p_max, CAST(SUM(d) AS BIGINT) AS p_sum
+  FROM dec GROUP BY id
+  UNION ALL
+  SELECT id, 1, CAST(MIN(d) AS INT), CAST(MAX(d) AS INT),
+         CAST(SUM(d) AS BIGINT) FROM l1 GROUP BY id
+  UNION ALL
+  SELECT id, 2, CAST(MIN(d) AS INT), CAST(MAX(d) AS INT),
+         CAST(SUM(d) AS BIGINT) FROM l2 GROUP BY id)
+"""
+
+
 def phash_near_pairs_images(spark, sf_dir):
     """Image near-duplicate pairs via pHash banded blocking — the image-
     payload twin of minhash_candidates. Synthesizes the deterministic
@@ -3240,6 +3286,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_counts": stream_tumbling_counts,
         "stream_session_windows": stream_session_windows,
         "image_histogram_features": image_histogram_features,
+        "image_pyramid_stats": image_pyramid_stats,
         "video_frame_stats": video_frame_stats,
         "audio_window_features": audio_window_features,
         "minhash_candidates": minhash_candidates,
@@ -3369,6 +3416,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "phash_near_pairs_images": _PHASH_PAIRS_SQL,
         "dhash_near_pairs_images": _DHASH_PAIRS_SQL,
         "image_histogram_features": _IMAGE_HIST_SQL,
+        "image_pyramid_stats": _IMAGE_PYRAMID_SQL,
         "phash128_near_pairs_images": _PHASH128_PAIRS_SQL,
         "phash_dct_near_pairs_images": _PHASH_DCT_PAIRS_SQL,
         "phash_dedup_clusters": _PHASH_CLUSTERS_SQL,

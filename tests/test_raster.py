@@ -115,3 +115,55 @@ def test_histogram_features_counts_and_formats(spark):
     assert fmts_seen == {"raw", "png", "q6"}
     with pytest.raises(ValueError, match="bins"):
         histogram_features(imgs, bins=10)
+
+
+def test_downsample2x_exact_floor_average():
+    import numpy as np
+    from osm2garmin_spark.operators.raster import downsample2x
+
+    img = np.array([[0, 1, 2, 3],
+                    [4, 5, 6, 7],
+                    [252, 253, 254, 255],
+                    [250, 250, 251, 251]], dtype=np.uint8)
+    out = downsample2x(img)
+    assert out.dtype == np.uint8
+    assert out.tolist() == [[(0 + 1 + 4 + 5) // 4, (2 + 3 + 6 + 7) // 4],
+                            [(252 + 253 + 250 + 250) // 4,
+                             (254 + 255 + 251 + 251) // 4]]
+
+
+def test_downsample2x_odd_dims_crop():
+    import numpy as np
+    from osm2garmin_spark.operators.raster import downsample2x
+
+    img = np.arange(15, dtype=np.uint8).reshape(3, 5)
+    out = downsample2x(img)
+    assert out.shape == (1, 2)  # trailing row/col cropped
+    import pytest
+    with pytest.raises(ValueError, match="too small"):
+        downsample2x(np.zeros((1, 4), dtype=np.uint8))
+
+
+def test_pyramid_stats_matches_numpy(spark):
+    import numpy as np
+    from osm2garmin_spark.operators.raster import (downsample2x,
+                                                   pyramid_stats)
+    from osm2garmin_spark.pipeline.synth import _gen_map
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 40).select(F.col("id"))
+    images = ids.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
+                             "w int, h int, fmt string, caption string, phash long")
+    got = {(r.image_id, r.level): (r.p_min, r.p_max, r.p_sum)
+           for r in pyramid_stats(images, levels=2).collect()}
+    # numpy reference over the decoded full-res pixels
+    from osm2garmin_spark.operators.raster import decode_image
+    rows = images.select("image_id", "bytes", "w", "h", "fmt").collect()
+    assert len(got) == 3 * len(rows)
+    for r in rows:
+        cur = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+        for lv in range(3):
+            assert got[(r.image_id, lv)] == (
+                int(cur.min()), int(cur.max()), int(cur.astype(np.int64).sum()))
+            if lv < 2:
+                cur = downsample2x(cur)
