@@ -2004,6 +2004,35 @@ GROUP BY l_returnflag
 """
 
 
+def events_value_quantiles(spark, sf_dir):
+    """EXACT per-group percentiles (p50/p90/p99) via Spark's
+    `percentile` — the sort-based exact aggregate, not the t-digest
+    `percentile_approx` (a sketch cannot pass a value gate; the exact
+    form's linear interpolation between order statistics is the same
+    published definition DuckDB's quantile_cont implements, so the two
+    engines agree to the oracle's 1e-9 rounding). Exact percentile is
+    a full sort per group — the scale trade vs approx is documented
+    here deliberately: at 10^12 rows per group you use the sketch and
+    give up the equality gate; at per-group cardinalities that fit a
+    task (the common rollup case after partial aggregation) exact is
+    affordable and reproducible."""
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.percentile("value", 0.5).alias("p50"),
+                 F.percentile("value", 0.9).alias("p90"),
+                 F.percentile("value", 0.99).alias("p99"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax")))
+
+
+_EVENT_QUANTILES_SQL = """
+SELECT event_type, quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99,
+       MIN(value) AS vmin, MAX(value) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 def doc_similar_top3(spark, sf_dir):
     """Sparse lexical retrieval (functions/retrieval.py): top-3 corpus
     docs per query doc by EXACT integer tf dot product over an
@@ -3306,6 +3335,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embed_clusters": kmeans_embed_clusters,
         "funnel_signup_click_purchase": funnel_signup_click_purchase,
         "doc_similar_top3": doc_similar_top3,
+        "events_value_quantiles": events_value_quantiles,
         "dedup_clusters_docs": dedup_clusters_docs,
         "crossmodal_dedup_clusters": crossmodal_dedup_clusters,
         "phash_dedup_clusters": phash_dedup_clusters,
@@ -3439,6 +3469,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "kmeans_embed_clusters": _kmeans_sql(),
         "funnel_signup_click_purchase": _FUNNEL_SQL,
         "doc_similar_top3": _doc_similar_sql(),
+        "events_value_quantiles": _EVENT_QUANTILES_SQL,
         "dedup_clusters_docs": _dedup_clusters_sql(),
         "crossmodal_dedup_clusters": _crossmodal_clusters_sql(),
         "ann_lsh_top3": _ann_lsh_sql(),
