@@ -242,7 +242,8 @@ def main():
                 "bloom_prune_lineitems", "incremental_dedup_new_docs",
                 "doc_top_terms", "kmeans_embed_clusters",
                 "funnel_signup_click_purchase", "doc_similar_top3",
-                "image_pyramid_stats", "events_value_quantiles"]
+                "image_pyramid_stats", "events_value_quantiles",
+                "events_table_checksums"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).write
               .format("noop").mode("overwrite").save())

@@ -1,0 +1,95 @@
+"""Order-independent table checksums: verify that two copies of a
+dataset hold the SAME ROWS without sorting or shuffling either copy.
+
+The replication/compaction audit primitive the lineage layer's
+per-tile digests need at table scale (pipeline/lineage.py digests one
+tile at a time): after a backfill, a compaction
+(`pipeline/lineage.compact`), an engine migration, or a CDC apply
+(`streaming/incremental.apply_changes`), recompute the checksums on
+both sides and compare k smallish numbers instead of 2×10^12 rows.
+
+Design — every piece chosen so a SQL oracle reproduces it bit-for-bit
+and so the aggregation is commutative (partition-order free):
+
+- row hash: the engine's portable polynomial fingerprint
+  (functions/text.fingerprint) over a canonical '\\x1f'-joined string
+  rendering of the columns — no engine-private hash functions.
+- per bucket (hash-partitioned by the row hash itself), THREE
+  commutative digests with complementary failure modes:
+  * ``xor_sum``  bit-XOR of row hashes — order- and duplicate-count-
+    INSENSITIVE in pairs (a row appearing twice cancels out), but
+    cheapest and catches any single-row difference;
+  * ``mod_sum``  Σ hash mod FP_MOD, accumulated in DECIMAL(38,0) so
+    10^12-row sums cannot overflow int64 (bigint SUM would raise under
+    ANSI mode long before that) — catches the duplicate-pair case XOR
+    misses;
+  * ``n_rows``   row count.
+  Together: equal (xor_sum, mod_sum, n_rows) per bucket is strong
+  evidence of multiset equality; any difference pinpoints WHICH bucket
+  diverged, so the expensive row-level diff runs on 1/k of the data.
+
+Scale shape: one scan, map-side partial aggregation into k buckets,
+exchange of k rows. NULL columns render as an explicit sentinel so
+(NULL) and ('') differ.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import FP_MOD, fingerprint
+
+#: rendered in place of NULL — outside the printable range a cast
+#: produces, so NULL never collides with a real value
+NULL_TOKEN = "\x02N"
+SEP = "\x1f"
+
+
+def row_fingerprint(cols: List[str]) -> F.Column:
+    """Portable int64 fingerprint of a row: polynomial rolling hash of
+    the canonical string rendering (NULLs tokenized, fields joined on
+    the unit separator)."""
+    rendered = [F.coalesce(F.col(c).cast("string"), F.lit(NULL_TOKEN))
+                for c in cols]
+    return fingerprint(F.concat_ws(SEP, *rendered))
+
+
+def table_checksum(df: DataFrame, cols: List[str],
+                   buckets: int = 16) -> DataFrame:
+    """(bucket, n_rows, xor_sum, mod_sum) over ``cols`` — compare two
+    datasets' outputs with a k-row equi-join to audit multiset
+    equality; a mismatched bucket localizes the diff to 1/k of the
+    rows."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    h = row_fingerprint(cols)
+    return (df.select(F.pmod(h, F.lit(buckets)).alias("bucket"),
+                      h.alias("_h"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.expr("bit_xor(_h)").alias("xor_sum"),
+                 F.pmod(F.sum(F.col("_h").cast("decimal(38,0)")),
+                        F.lit(FP_MOD)).cast("long").alias("mod_sum")))
+
+
+def table_checksum_sql(cols: List[str], buckets: int = 16,
+                       table: str = "events") -> str:
+    """DuckDB oracle: same rendering, same polynomial fold, same three
+    digests (HUGEINT sum stands in for DECIMAL(38,0) — both exact at
+    this width)."""
+    from .text import fingerprint_sql
+
+    rendered = " || '\x1f' || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), '\x02N')" for c in cols)
+    fold = fingerprint_sql(f"({rendered})")
+    return f"""
+WITH h AS (SELECT {fold} AS rh FROM {table})
+SELECT rh % {buckets} AS bucket, COUNT(*) AS n_rows,
+       bit_xor(rh) AS xor_sum,
+       CAST(SUM(CAST(rh AS HUGEINT)) % {FP_MOD} AS BIGINT) AS mod_sum
+FROM h GROUP BY rh % {buckets}
+"""

@@ -2004,6 +2004,28 @@ GROUP BY l_returnflag
 """
 
 
+def events_table_checksums(spark, sf_dir):
+    """Order-independent table checksums (functions/checksum.py): three
+    commutative digests per hash bucket (count, bit-xor, decimal
+    mod-sum) over a portable row fingerprint — the replication/
+    compaction audit that compares two 10^12-row copies with a k-row
+    join. Only integer/varchar columns feed the rendering (double and
+    timestamp string formats are engine-specific; the module docstring
+    covers the canonicalization needed to include them)."""
+    from .functions.checksum import table_checksum
+
+    ev = _read(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism)
+    return table_checksum(ev, ["event_id", "user_id", "event_type"],
+                          buckets=8)
+
+
+def _events_checksum_sql() -> str:
+    from .functions.checksum import table_checksum_sql
+    return table_checksum_sql(["event_id", "user_id", "event_type"],
+                              buckets=8)
+
+
 def events_value_quantiles(spark, sf_dir):
     """EXACT per-group percentiles (p50/p90/p99) via Spark's
     `percentile` — the sort-based exact aggregate, not the t-digest
@@ -3336,6 +3358,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_signup_click_purchase": funnel_signup_click_purchase,
         "doc_similar_top3": doc_similar_top3,
         "events_value_quantiles": events_value_quantiles,
+        "events_table_checksums": events_table_checksums,
         "dedup_clusters_docs": dedup_clusters_docs,
         "crossmodal_dedup_clusters": crossmodal_dedup_clusters,
         "phash_dedup_clusters": phash_dedup_clusters,
@@ -3470,6 +3493,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "funnel_signup_click_purchase": _FUNNEL_SQL,
         "doc_similar_top3": _doc_similar_sql(),
         "events_value_quantiles": _EVENT_QUANTILES_SQL,
+        "events_table_checksums": _events_checksum_sql(),
         "dedup_clusters_docs": _dedup_clusters_sql(),
         "crossmodal_dedup_clusters": _crossmodal_clusters_sql(),
         "ann_lsh_top3": _ann_lsh_sql(),
