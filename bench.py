@@ -243,7 +243,7 @@ def main():
                 "doc_top_terms", "kmeans_embed_clusters",
                 "funnel_signup_click_purchase", "doc_similar_top3",
                 "image_pyramid_stats", "events_value_quantiles",
-                "events_table_checksums"]
+                "events_table_checksums", "pagerank_user_graph"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).write
               .format("noop").mode("overwrite").save())

@@ -2004,6 +2004,28 @@ GROUP BY l_returnflag
 """
 
 
+def pagerank_user_graph(spark, sf_dir):
+    """Fixed-point integer PageRank (functions/pagerank.py), 2 exact
+    power iterations over the deterministic user-interaction graph
+    (src = user_id, dst = event_id mod 150): every iteration's
+    floor-div damping update is integer arithmetic, so the SQL oracle
+    pins all of them — floating PageRank never could. Rank state stays
+    DISTRIBUTED across iterations (no driver round-trips, unlike
+    kmeans' centroids), the shape that survives 10^10 edges."""
+    from .functions.pagerank import pagerank_int
+
+    ev = _read(spark, sf_dir, "events")
+    edges = ev.select(F.col("user_id").alias("src"),
+                      (F.col("event_id") % 150).alias("dst"))
+    return pagerank_int(edges, iters=2)
+
+
+def _pagerank_sql() -> str:
+    from .functions.pagerank import pagerank_sql
+    return pagerank_sql(
+        2, "SELECT user_id AS src, event_id % 150 AS dst FROM events")
+
+
 def events_table_checksums(spark, sf_dir):
     """Order-independent table checksums (functions/checksum.py): three
     commutative digests per hash bucket (count, bit-xor, decimal
@@ -3359,6 +3381,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_similar_top3": doc_similar_top3,
         "events_value_quantiles": events_value_quantiles,
         "events_table_checksums": events_table_checksums,
+        "pagerank_user_graph": pagerank_user_graph,
         "dedup_clusters_docs": dedup_clusters_docs,
         "crossmodal_dedup_clusters": crossmodal_dedup_clusters,
         "phash_dedup_clusters": phash_dedup_clusters,
@@ -3494,6 +3517,7 @@ def oracle_sql(sf_dir: str = None) -> Dict[str, str]:
         "doc_similar_top3": _doc_similar_sql(),
         "events_value_quantiles": _EVENT_QUANTILES_SQL,
         "events_table_checksums": _events_checksum_sql(),
+        "pagerank_user_graph": _pagerank_sql(),
         "dedup_clusters_docs": _dedup_clusters_sql(),
         "crossmodal_dedup_clusters": _crossmodal_clusters_sql(),
         "ann_lsh_top3": _ann_lsh_sql(),
