@@ -3360,6 +3360,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_windows": stream_session_windows,
         "image_histogram_features": image_histogram_features,
         "image_pyramid_stats": image_pyramid_stats,
+        "tile_names": tile_names,
+        "tiling_pipeline_counts": tiling_pipeline_counts,
         "video_frame_stats": video_frame_stats,
         "audio_window_features": audio_window_features,
         "minhash_candidates": minhash_candidates,
