@@ -66,3 +66,18 @@ def test_plan_partial_aggregation(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "Join" not in plan
+
+def test_xxhash64_mode_invariant_and_sensitive(spark):
+    rows = [(i, f"v{i % 7}") for i in range(300)]
+    a = _sums(table_checksum(_df(spark, rows), ["a", "b"], 8,
+                             hash="xxhash64"))
+    b = _sums(table_checksum(_df(spark, list(reversed(rows))).repartition(5),
+                             ["a", "b"], 8, hash="xxhash64"))
+    assert a == b
+    rows2 = list(rows)
+    rows2[13] = (13, "changed")
+    c = _sums(table_checksum(_df(spark, rows2), ["a", "b"], 8,
+                             hash="xxhash64"))
+    assert c != a
+    with pytest.raises(ValueError, match="portable|xxhash64"):
+        table_checksum(_df(spark, rows), ["a"], 4, hash="md5")
