@@ -196,23 +196,43 @@ def phash128_near_pairs(images: DataFrame, id_col: str = "image_id",
     hashes = images.select(F.col(id_col).alias("id"),
                            F.col(hi_col).alias("hi"),
                            F.col(lo_col).alias("lo"))
+    # value compression (see phash_near_pairs): band-join the distinct
+    # (hi, lo) values, then expand value pairs back to id pairs
+    vals = hashes.select("hi", "lo").distinct()
     band_cols = phash128_bands(F.col("hi"), F.col("lo"), bands)
-    buckets = hashes.select(
-        "id", "hi", "lo",
+    buckets = vals.select(
+        "hi", "lo",
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val"))
 
     l = buckets.alias("l")
     r = buckets.alias("r")
-    cand = (l.join(r, on=[F.col("l.band_idx") == F.col("r.band_idx"),
-                          F.col("l.band_val") == F.col("r.band_val"),
-                          F.col("l.id") < F.col("r.id")])
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     (hamming64(F.col("l.hi"), F.col("r.hi"))
-                      + hamming64(F.col("l.lo"), F.col("r.lo")))
-                     .cast("int").alias("hamming"))
-             .filter(F.col("hamming") <= max_hamming))
+    lt = (F.col("l.hi") < F.col("r.hi")) | (
+        (F.col("l.hi") == F.col("r.hi")) & (F.col("l.lo") < F.col("r.lo")))
+    hp = (l.join(r, on=[F.col("l.band_idx") == F.col("r.band_idx"),
+                        F.col("l.band_val") == F.col("r.band_val"), lt])
+           .select(F.col("l.hi").alias("hi_a"), F.col("l.lo").alias("lo_a"),
+                   F.col("r.hi").alias("hi_b"), F.col("r.lo").alias("lo_b"),
+                   (hamming64(F.col("l.hi"), F.col("r.hi"))
+                    + hamming64(F.col("l.lo"), F.col("r.lo")))
+                   .cast("int").alias("hamming"))
+           .filter(F.col("hamming") <= max_hamming)
+           .dropDuplicates(["hi_a", "lo_a", "hi_b", "lo_b"]))
 
-    return cand.dropDuplicates(["id_a", "id_b"])
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    inter = (hp.join(a, (F.col("a.hi") == F.col("hi_a"))
+                     & (F.col("a.lo") == F.col("lo_a")))
+               .join(b, (F.col("b.hi") == F.col("hi_b"))
+                     & (F.col("b.lo") == F.col("lo_b")))
+               .select(F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                       F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+                       "hamming"))
+    intra = (a.join(b, on=[F.col("a.hi") == F.col("b.hi"),
+                           F.col("a.lo") == F.col("b.lo"),
+                           F.col("a.id") < F.col("b.id")])
+              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                      F.lit(0).cast("int").alias("hamming")))
+    return inter.unionByName(intra)
 
 
 def dhash64(img: "np.ndarray") -> int:
@@ -281,6 +301,44 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def phash_value_near_pairs(vals: DataFrame, ph_col: str = "ph",
+                           max_hamming: int = 3,
+                           bands: int | None = None) -> DataFrame:
+    """Near pairs over DISTINCT hash VALUES: (ph_a < ph_b, hamming) with
+    0 < hamming ≤ max_hamming. ``vals`` must carry one row per distinct
+    hash (callers groupBy the hash column first).
+
+    This is the band join of :func:`phash_near_pairs` run on the value
+    domain instead of the row domain — the value-compression that keeps
+    the bucket self-join quadratic in DISTINCT hashes, not rows. A real
+    corpus repeats fingerprints heavily (re-uploads, thumbnails, flat
+    images), so band buckets over rows grow with row count while buckets
+    over values are bounded by the hash domain; pairs within an equal
+    value are hamming-0 and are reconstructed by the caller's expansion
+    join, never enumerated here.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} < max_hamming+1={max_hamming + 1}: the band "
+            f"join would miss pairs (pigeonhole completeness needs ≥ t+1)")
+    band_cols = phash_bands(F.col(ph_col), bands)
+    buckets = vals.select(
+        F.col(ph_col).alias("ph"),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val"))
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    cand = (l.join(r, on=[F.col("l.band_idx") == F.col("r.band_idx"),
+                          F.col("l.band_val") == F.col("r.band_val"),
+                          F.col("l.ph") < F.col("r.ph")])
+             .select(F.col("l.ph").alias("ph_a"), F.col("r.ph").alias("ph_b"),
+                     hamming64(F.col("l.ph"), F.col("r.ph"))
+                     .cast("int").alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming))
+    return cand.dropDuplicates(["ph_a", "ph_b"])
+
+
 def phash_near_pairs(images: DataFrame, id_col: str = "image_id",
                      phash_col: str = "phash", max_hamming: int = 3,
                      bands: int | None = None) -> DataFrame:
@@ -293,39 +351,39 @@ def phash_near_pairs(images: DataFrame, id_col: str = "image_id",
     candidate-join rows per image; fewer than t+1 would lose recall and
     is rejected.
 
+    Plan shape (round 7): VALUE COMPRESSION. The band self-join runs on
+    the DISTINCT hash values (phash_value_near_pairs) — quadratic only in
+    distinct fingerprints per bucket — and id pairs are reconstructed by
+    two equi-joins of the (tiny) value-pair table against the id→hash
+    rows plus an equal-hash self-join for the hamming-0 clique pairs.
+    Every emitted row is a true near pair, so the candidate volume is
+    output-bound: the old row-domain band join re-met every id pair once
+    per agreeing band inside buckets whose size grows with corpus size
+    (the sf1.0 gradient corpus holds 50k rows over 2,504 distinct hashes:
+    392M band candidates for 57M true pairs; compressed, the band join
+    sees 2,504 rows and the expansion emits exactly the 57M).
+
     Returns (id_a, id_b, hamming).
     """
-    if bands is None:
-        bands = max_hamming + 1
-    if bands < max_hamming + 1:
-        raise ValueError(
-            f"bands={bands} < max_hamming+1={max_hamming + 1}: the band "
-            f"join would miss pairs (pigeonhole completeness needs ≥ t+1)")
-
     hashes = images.select(F.col(id_col).alias("id"),
                            F.col(phash_col).alias("ph"))
-    band_cols = phash_bands(F.col("ph"), bands)
-    buckets = hashes.select(
-        "id", "ph",
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val"))
-
-    l = buckets.alias("l")
-    r = buckets.alias("r")
-    # refine BEFORE dedup: the popcount filter is a pure column expression
-    # evaluated on the candidate stream as it leaves the bucket join, so
-    # the dropDuplicates shuffle carries only true near-pairs (each seen
-    # once per agreeing band, ≤ ``bands`` times) instead of the full
-    # false-candidate volume — at 1M hashes that is ~0.4M rows deduped
-    # instead of ~27M (measured 12× end-to-end, tools/bench_phash_corpus)
-    cand = (l.join(r, on=[F.col("l.band_idx") == F.col("r.band_idx"),
-                          F.col("l.band_val") == F.col("r.band_val"),
-                          F.col("l.id") < F.col("r.id")])
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     hamming64(F.col("l.ph"), F.col("r.ph"))
-                     .cast("int").alias("hamming"))
-             .filter(F.col("hamming") <= max_hamming))
-
-    return cand.dropDuplicates(["id_a", "id_b"])
+    hp = phash_value_near_pairs(hashes.select("ph").distinct(), "ph",
+                                max_hamming, bands)
+    # expansion: inter-value pairs (id order restored per pair — the two
+    # sides of a value pair interleave in id space)
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    inter = (hp.join(a, F.col("a.ph") == F.col("ph_a"))
+               .join(b, F.col("b.ph") == F.col("ph_b"))
+               .select(F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                       F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+                       "hamming"))
+    # equal-hash cliques: hamming 0 by construction
+    intra = (a.join(b, on=[F.col("a.ph") == F.col("b.ph"),
+                           F.col("a.id") < F.col("b.id")])
+              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                      F.lit(0).cast("int").alias("hamming")))
+    return inter.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------

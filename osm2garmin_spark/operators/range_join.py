@@ -205,11 +205,43 @@ def range_join_within(a: DataFrame, b: DataFrame, radius_km: float,
     if strategy == "s2":
         return _range_join_s2(a, b, radius_km, dist_col)
     cell_lat, cell_lon = _cell_sizes_deg(radius_km, max_abs_lat)
-    # uniform ring: every cell 360/n_x >= cell_lon wide (see module
-    # docstring — ceil() would leave a narrow seam cell and drop
-    # antimeridian pairs)
-    n_x = max(3, int(math.floor(360.0 / cell_lon)))
     hav_t = hav_threshold(radius_km)
+    # LATITUDE-BANDED lon grid (round 7): one global cell_lon sized by the
+    # polar cap made equatorial cells ~6x too wide at cap 85.1 (7.9 deg for
+    # a 150 km radius whose true equatorial bound is ~1.35 deg), and the
+    # candidate volume grows with the square of point density. Each lat
+    # row r now gets its OWN uniform ring of n_x[r] cells, each 360/n_x[r]
+    # wide, sized by the rigorous pair bound for that row: for a pair
+    # within R with the b-point in row r, both |lat|s lie inside the
+    # 3-row window rows r-1..r+1 (|dlat| <= cell_lat), so
+    # cos(lat_a), cos(lat_b) >= mincos3(r) := min cos over the window
+    # (clamped to the cap, beyond which the guard raises), and
+    # hav >= cos(lat_a) cos(lat_b) sin^2(dlon/2) gives
+    # dlon <= 2 asin(min(1, sin(R/2R_E) / mincos3(r))) =: W(r).
+    # Cells of uniform width >= W(r) put any qualifying pair in the same
+    # or an adjacent cell OF THE B-POINT'S ROW (mod n_x[r] for the seam —
+    # same uniform-ring argument as before, now per row); rows where the
+    # bound spans the globe collapse to a single cell (n_x = 1) instead
+    # of degenerating the whole grid.
+    s_half = math.sin(radius_km / (2.0 * R_EARTH))
+    n_rows = int(math.ceil(180.0 / cell_lat))
+
+    def _n_x_for_row(r: int) -> int:
+        lo = max(-max_abs_lat, (r - 1) * cell_lat - 90.0)
+        hi = min(max_abs_lat, (r + 2) * cell_lat - 90.0)
+        if lo > hi:          # row entirely beyond the cap: no members
+            return 1
+        mincos3 = math.cos(math.radians(max(abs(lo), abs(hi))))
+        if mincos3 <= 0.0 or s_half / mincos3 >= 1.0:
+            return 1
+        w = math.degrees(2.0 * math.asin(s_half / mincos3))
+        return max(1, int(math.floor(360.0 / w)))
+
+    n_x_arr = [_n_x_for_row(r) for r in range(n_rows)]
+    n_x_lit = F.array(*[F.lit(v) for v in n_x_arr])
+    row_clamped = F.greatest(F.least(F.col("_iy"), F.lit(n_rows - 1)),
+                             F.lit(0))
+    n_x_of_row = F.element_at(n_x_lit, (row_clamped + 1).cast("int"))
 
     def keyed(df: DataFrame, side: str) -> DataFrame:
         lat, lon = F.col("lat"), F.col("lon")
@@ -219,29 +251,40 @@ def range_join_within(a: DataFrame, b: DataFrame, radius_km: float,
             F.raise_error(F.lit(
                 f"{side}.lat exceeds max_abs_lat={max_abs_lat}; raise the "
                 f"cap or block on geo/s2.py cells"))).otherwise(F.lit(0))
-        ix = F.floor((lon + F.lit(180.0)) * F.lit(float(n_x)) / F.lit(360.0))
         iy = F.floor((lat + F.lit(90.0)) / F.lit(cell_lat))
         return (df
                 .withColumn("_g", guard)
-                .withColumn("_ix", F.when(finite, F.pmod(
-                    ix + F.col("_g"), F.lit(n_x))))
-                .withColumn("_iy", F.when(finite, iy.cast("long")))
+                .withColumn("_iy", F.when(finite, (iy + F.col("_g"))
+                                          .cast("long")))
                 # per-ROW trig, projected once before the join
                 .withColumn("_lath", lat * F.lit(HALF_RAD))
                 .withColumn("_lonh", lon * F.lit(HALF_RAD))
                 .withColumn("_clat", F.cos(lat * F.lit(DEG2RAD)))
                 .drop("_g"))
 
-    ak = keyed(a, "a")
-    bk = keyed(b, "b")
+    def with_ix(df: DataFrame) -> DataFrame:
+        # base cell in the row's own ring: lon in [-180, 180) keeps the
+        # floor inside [0, n_x-1] with no mod
+        nx = n_x_of_row.cast("double")
+        ix = F.floor((F.col("lon") + F.lit(180.0)) * nx / F.lit(360.0))
+        return df.withColumn("_ix", F.when(~F.isnan(F.col("lon")), ix))
 
-    ring = F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("_dx")
-    ak = ak.select("*", ring)
+    ak = keyed(a, "a")
+    bk = with_ix(keyed(b, "b"))
+
+    # left side: rows iy-1 .. iy+1, and per target row the <=3 ring cells
+    # of THAT row's lattice around the point's lon (array_distinct folds
+    # the duplicates a 1- or 2-cell ring produces near the poles)
     ak = ak.select("*", F.explode(
         F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("_dy"))
-    ak = (ak.withColumn("_ix", F.pmod(F.col("_ix") + F.col("_dx"), F.lit(n_x)))
-            .withColumn("_iy", F.col("_iy") + F.col("_dy"))
-            .drop("_dx", "_dy"))
+    ak = ak.withColumn("_iy", F.col("_iy") + F.col("_dy")).drop("_dy")
+    ak = with_ix(ak)
+    nx_l = n_x_of_row
+    ak = (ak.select("*", F.explode(F.array_distinct(F.array(
+                F.pmod(F.col("_ix") - 1, nx_l),
+                F.col("_ix"),
+                F.pmod(F.col("_ix") + 1, nx_l)))).alias("_ixr"))
+            .drop("_ix").withColumnRenamed("_ixr", "_ix"))
 
     a_cols = [c for c in a.columns]
     b_cols = [c for c in b.columns]

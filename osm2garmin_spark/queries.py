@@ -1047,7 +1047,13 @@ def range_knn_customers_events(spark, sf_dir):
         F.col("c_custkey"),
         derived_lat(F.col("c_custkey") + 900000).alias("lat"),
         derived_lon(F.col("c_custkey") + 900000).alias("lon"))
-    ev = _event_points(spark, sf_dir)
+    # repartition BEFORE the coordinate derivation: the events table is a
+    # single-row-group scan, and the probe side of the blocked join (and
+    # its per-row trig projection) otherwise runs on one core
+    ev = (_read(spark, sf_dir, "events").select("event_id").repartition(par)
+          .select("event_id",
+                  derived_lat(F.col("event_id")).alias("lat"),
+                  derived_lon(F.col("event_id")).alias("lon")))
     pairs = range_join_within(cust.select("c_custkey", "lat", "lon"),
                               ev.select("event_id", "lat", "lon"),
                               _RANGE_JOIN_KM, dist_col="dist_km")
@@ -1168,7 +1174,12 @@ def range_join_customers_events(spark, sf_dir):
         F.col("c_custkey"),
         derived_lat(F.col("c_custkey") + 900000).alias("lat"),
         derived_lon(F.col("c_custkey") + 900000).alias("lon"))
-    ev = _event_points(spark, sf_dir)
+    # single-row-group events scan: spread the probe side (see
+    # range_knn_customers_events)
+    ev = (_read(spark, sf_dir, "events").select("event_id").repartition(par)
+          .select("event_id",
+                  derived_lat(F.col("event_id")).alias("lat"),
+                  derived_lon(F.col("event_id")).alias("lon")))
     out = range_join_within(cust.select("c_custkey", "lat", "lon"),
                             ev.select("event_id", "lat", "lon"),
                             _RANGE_JOIN_KM)
@@ -2443,7 +2454,11 @@ def image_decode_stats(spark, sf_dir):
     and run the distributed decode/stat kernel (mapInPandas, Arrow batches)."""
     from .pipeline.synth import _gen_map
     from .operators.raster import decode_stats
-    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    # single-row-group scan: spread the synth/decode kernel across
+    # cores before the opaque mapInPandas (guide §4.1 — the id-only
+    # shuffle is bytes; the per-image work is not)
+    docs = (_read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+            .repartition(spark.sparkContext.defaultParallelism))
     images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
                               "w int, h int, fmt string, caption string, phash long")
     return decode_stats(images).select("image_id", "p_min", "p_max")
@@ -2457,7 +2472,11 @@ def image_histogram_features(spark, sf_dir):
     from .pipeline.synth import _gen_map
     from .operators.raster import histogram_features
 
-    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    # single-row-group scan: spread the synth/decode kernel across
+    # cores before the opaque mapInPandas (guide §4.1 — the id-only
+    # shuffle is bytes; the per-image work is not)
+    docs = (_read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+            .repartition(spark.sparkContext.defaultParallelism))
     images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
                               "w int, h int, fmt string, caption string, phash long")
     out = histogram_features(images, bins=16)
@@ -2498,7 +2517,11 @@ def image_pyramid_stats(spark, sf_dir):
     from .pipeline.synth import _gen_map
     from .operators.raster import pyramid_stats
 
-    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    # single-row-group scan: spread the synth/decode kernel across
+    # cores before the opaque mapInPandas (guide §4.1 — the id-only
+    # shuffle is bytes; the per-image work is not)
+    docs = (_read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+            .repartition(spark.sparkContext.defaultParallelism))
     images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
                               "w int, h int, fmt string, caption string, phash long")
     out = pyramid_stats(images, levels=2)
@@ -2545,19 +2568,28 @@ def phash_near_pairs_images(spark, sf_dir):
     from .pipeline.synth import _gen_map
     from .functions.phash import phash_from_bytes, phash_near_pairs
 
-    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    # single-row-group scan: spread the synth/decode kernel across
+    # cores before the opaque mapInPandas (guide §4.1 — the id-only
+    # shuffle is bytes; the per-image work is not)
+    docs = (_read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+            .repartition(spark.sparkContext.defaultParallelism))
     images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
                               "w int, h int, fmt string, caption string, phash long")
     lossless = images.filter(F.col("fmt").isin("raw", "png"))
-    ph = phash_from_bytes(lossless)
+    # numeric ids BEFORE the pair expansion: the output is ~25M pairs at
+    # sf1.0, and converting ids per OUTPUT row charged two regexes to
+    # every pair (guide §1.2 step 2); converting the 33k input rows makes
+    # the band join order numerically — exactly the query's published
+    # (least, greatest) numeric order. localCheckpoint: the expansion
+    # references the decode subtree three times (distinct + both join
+    # sides); checkpointing the 8-byte-per-row hash table runs the
+    # Python decode once (the knn_grid iteration discipline).
+    ph = phash_from_bytes(lossless).select(
+        F.regexp_replace("image_id", "^img", "").cast("long").alias("image_id"),
+        "phash_computed").localCheckpoint(eager=True)
     pairs = phash_near_pairs(ph, id_col="image_id",
                              phash_col="phash_computed", max_hamming=3)
-    # numeric ids, canonically ordered (the band join orders by the STRING
-    # id, where "img10" < "img9")
-    na = F.regexp_replace("id_a", "^img", "").cast("long")
-    nb = F.regexp_replace("id_b", "^img", "").cast("long")
-    return pairs.select(F.least(na, nb).alias("id_a"),
-                        F.greatest(na, nb).alias("id_b"), "hamming")
+    return pairs.select("id_a", "id_b", "hamming")
 
 
 def phash128_near_pairs_images(spark, sf_dir):
@@ -2569,16 +2601,21 @@ def phash128_near_pairs_images(spark, sf_dir):
     from .pipeline.synth import _gen_map
     from .functions.phash import phash128_from_bytes, phash128_near_pairs
 
-    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    # single-row-group scan: spread the synth/decode kernel across
+    # cores before the opaque mapInPandas (guide §4.1 — the id-only
+    # shuffle is bytes; the per-image work is not)
+    docs = (_read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+            .repartition(spark.sparkContext.defaultParallelism))
     images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
                               "w int, h int, fmt string, caption string, phash long")
     lossless = images.filter(F.col("fmt").isin("raw", "png"))
-    ph = phash128_from_bytes(lossless)
+    # numeric ids before expansion + one decode pass (see
+    # phash_near_pairs_images)
+    ph = phash128_from_bytes(lossless).select(
+        F.regexp_replace("image_id", "^img", "").cast("long").alias("image_id"),
+        "phash_hi", "phash_lo").localCheckpoint(eager=True)
     pairs = phash128_near_pairs(ph, max_hamming=3)
-    na = F.regexp_replace("id_a", "^img", "").cast("long")
-    nb = F.regexp_replace("id_b", "^img", "").cast("long")
-    return pairs.select(F.least(na, nb).alias("id_a"),
-                        F.greatest(na, nb).alias("id_b"), "hamming")
+    return pairs.select("id_a", "id_b", "hamming")
 
 
 def phash_dct_near_pairs_images(spark, sf_dir):
@@ -2592,17 +2629,22 @@ def phash_dct_near_pairs_images(spark, sf_dir):
     from .pipeline.synth import _gen_map
     from .functions.phash import phash_dct_from_bytes, phash_near_pairs
 
-    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    # single-row-group scan: spread the synth/decode kernel across
+    # cores before the opaque mapInPandas (guide §4.1 — the id-only
+    # shuffle is bytes; the per-image work is not)
+    docs = (_read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+            .repartition(spark.sparkContext.defaultParallelism))
     images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
                               "w int, h int, fmt string, caption string, phash long")
     lossless = images.filter(F.col("fmt").isin("raw", "png"))
-    ph = phash_dct_from_bytes(lossless)
+    # numeric ids before expansion + one decode pass (see
+    # phash_near_pairs_images)
+    ph = phash_dct_from_bytes(lossless).select(
+        F.regexp_replace("image_id", "^img", "").cast("long").alias("image_id"),
+        "phash_dct").localCheckpoint(eager=True)
     pairs = phash_near_pairs(ph, id_col="image_id",
                              phash_col="phash_dct", max_hamming=3)
-    na = F.regexp_replace("id_a", "^img", "").cast("long")
-    nb = F.regexp_replace("id_b", "^img", "").cast("long")
-    return pairs.select(F.least(na, nb).alias("id_a"),
-                        F.greatest(na, nb).alias("id_b"), "hamming")
+    return pairs.select("id_a", "id_b", "hamming")
 
 
 def phash_dedup_clusters(spark, sf_dir):
@@ -2616,13 +2658,38 @@ def phash_dedup_clusters(spark, sf_dir):
     phash column projected (bytes never decoded, never encoded — the
     pruning a real reader gets for free)."""
     from .pipeline.synth import _phash_map
-    from .functions.phash import phash_near_pairs
+    from .functions.phash import phash_value_near_pairs
 
-    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
-    hashes = docs.mapInPandas(_phash_map, schema="image_id long, phash long")
-    pairs = phash_near_pairs(hashes, max_hamming=3)
-    out = D.dedup_clusters(hashes.select("image_id"), pairs,
-                           id_col="image_id", a_col="id_a", b_col="id_b")
+    # single-row-group scan: spread the synth/decode kernel across
+    # cores before the opaque mapInPandas (guide §4.1 — the id-only
+    # shuffle is bytes; the per-image work is not)
+    docs = (_read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+            .repartition(spark.sparkContext.defaultParallelism))
+    hashes = docs.mapInPandas(
+        _phash_map,
+        schema="image_id long, phash long").localCheckpoint(eager=True)
+    # round-7 value compression: identical fingerprints are hamming-0
+    # cliques, so contract each fingerprint group to its min image_id and
+    # run connected components on the DISTINCT-hash graph (2.5k nodes at
+    # sf1.0 instead of 57M expanded edges). A component's minimum over
+    # group representatives IS the minimum image_id of the expanded
+    # component (every group min is the min of its clique), so
+    # label(image) = cluster(rep(phash(image))) is bit-identical to
+    # clustering the expanded pair set — proven against the unchanged
+    # brute-force oracle. (hashes is checkpointed: the contraction and
+    # the final label join both re-read it.)
+    reps = (hashes.groupBy("phash").agg(F.min("image_id").alias("rep"))
+            .localCheckpoint(eager=True))
+    hp = phash_value_near_pairs(reps.select(F.col("phash").alias("ph")),
+                                max_hamming=3)
+    ra = reps.select(F.col("phash").alias("ph_a"), F.col("rep").alias("id_a"))
+    rb = reps.select(F.col("phash").alias("ph_b"), F.col("rep").alias("id_b"))
+    edges = hp.join(ra, "ph_a").join(rb, "ph_b").select("id_a", "id_b")
+    labels = D.dedup_clusters(reps.select(F.col("rep").alias("image_id")),
+                              edges, id_col="image_id",
+                              a_col="id_a", b_col="id_b")
+    rep_label = labels.select(F.col("image_id").alias("rep"), "cluster_id")
+    out = (hashes.join(reps, "phash").join(rep_label, "rep"))
     return out.select("image_id", "cluster_id")
 
 
@@ -3129,7 +3196,11 @@ def dhash_near_pairs_images(spark, sf_dir):
     from .pipeline.synth import _gen_map
     from .functions.phash import dhash_from_bytes, phash_near_pairs
 
-    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    # single-row-group scan: spread the synth/decode kernel across
+    # cores before the opaque mapInPandas (guide §4.1 — the id-only
+    # shuffle is bytes; the per-image work is not)
+    docs = (_read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+            .repartition(spark.sparkContext.defaultParallelism))
     images = docs.mapInPandas(_gen_map, schema="image_id string, bytes binary, "
                               "w int, h int, fmt string, caption string, phash long")
     lossless = images.filter(F.col("fmt").isin("raw", "png"))
