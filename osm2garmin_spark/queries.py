@@ -382,8 +382,14 @@ def track_lengths_per_user(spark, sf_dir):
         "user_id", "ts", "event_id",
         derived_lat(F.col("event_id")).alias("lat"),
         derived_lon(F.col("event_id")).alias("lon"))
-    return track_stats(ev, key_col="user_id", ts_col="ts",
-                       lat_col="lat", lon_col="lon", seq_col="event_id")
+    out = track_stats(ev, key_col="user_id", ts_col="ts",
+                      lat_col="lat", lon_col="lon", seq_col="event_id")
+    # dtype parity with the (frozen) oracle: DuckDB SUM(BIGINT) returns
+    # HUGEINT, which lands in pandas as float64, and the driver's result
+    # hash is dtype-sensitive (CORRECTNESS_r06 red row). The engine sums
+    # exact integer meters (order-independent) and widens ONCE at the
+    # end — every value is far below 2^53, so the double is exact.
+    return out.withColumn("total_m", F.col("total_m").cast("double"))
 
 
 def _track_lengths_sql() -> str:
@@ -2100,7 +2106,11 @@ def doc_similar_top3(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
     qids = docs.filter(F.col("doc_id") < 20).select("doc_id")
-    return similar_topk(docs, qids, k=3, max_df=400)
+    out = similar_topk(docs, qids, k=3, max_df=400)
+    # dtype parity with the (frozen) oracle: DuckDB SUM(BIGINT) → HUGEINT
+    # → pandas float64; the driver's hash is dtype-sensitive
+    # (CORRECTNESS_r06 red row). Integer dots are < 2^53: exact double.
+    return out.withColumn("dot", F.col("dot").cast("double"))
 
 
 def _doc_similar_sql() -> str:

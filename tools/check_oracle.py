@@ -85,6 +85,33 @@ def main():
             failures.append((name, f"schema mismatch {sorted(scols)} vs {sorted(dcols)}"))
             print(f"FAIL  {name}: schema {sorted(scols)} vs {sorted(dcols)}")
             continue
+        # DTYPE-STRICT (VERDICT r6 #2): the driver hashes pandas frames,
+        # where DuckDB HUGEINT (any SUM(BIGINT)) lands as float64 while a
+        # Spark long stays int64 — equal VALUES, different hash. The old
+        # checker compared python scalars (7 == 7.0) and passed what the
+        # driver fails. Flag any integral-vs-float column family split.
+        _INT_DUCK = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+        _FLT_DUCK = {"HUGEINT", "UHUGEINT", "FLOAT", "DOUBLE"}
+        _INT_SPARK = {"tinyint", "smallint", "int", "bigint"}
+        _FLT_SPARK = {"float", "double"}
+        try:
+            dtypes = {c: str(t).upper() for c, t in
+                      zip(con.sql(oracles[name]).columns,
+                          con.sql(oracles[name]).types)}
+        except Exception:  # noqa: BLE001 — relation-only typing failed
+            dtypes = {}
+        stypes = dict(sdf.dtypes)
+        dtype_bad = [
+            (c, stypes[c], dtypes.get(c))
+            for c in scols
+            if (stypes.get(c) in _INT_SPARK and dtypes.get(c) in _FLT_DUCK)
+            or (stypes.get(c) in _FLT_SPARK and dtypes.get(c) in _INT_DUCK)]
+        if dtype_bad:
+            failures.append((name, f"dtype family mismatch {dtype_bad}"))
+            print(f"FAIL  {name}: dtype family mismatch {dtype_bad} "
+                  f"(driver hash is dtype-sensitive)")
+            continue
         s_n, d_n = len(srows), len(drows)
         s_vals, _ = _normalize([tuple(r) for r in srows], scols)
         d_vals, _ = _normalize(drows, dcols)
