@@ -75,8 +75,15 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
     are k x (1 + dim) aggregate rows."""
     if k < 1 or iters < 0 or dim < 1:
         raise ValueError(f"bad params k={k} iters={iters} dim={dim}")
+    # checkpoint the quantized table: Lloyd makes 2 + iters passes over
+    # it (init, per-iteration assign+agg, final assign), and without the
+    # checkpoint every pass re-runs the scan + quantize transform (the
+    # knn_grid iteration discipline; blocks are freed with the returned
+    # DataFrame). At cluster scale pair this with a reliable checkpoint
+    # dir if executors are preemptible — same trade-off as knn_grid.
     q = df.select(F.col(id_col).alias("_id"),
-                  quantize_vec(F.col(vec_col), scale).alias("_q"))
+                  quantize_vec(F.col(vec_col), scale).alias("_q")) \
+          .localCheckpoint(eager=True)
     init_rows = q.orderBy("_id").limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(f"need >= k={k} rows, got {len(init_rows)}")

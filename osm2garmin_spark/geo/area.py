@@ -94,6 +94,10 @@ object.__setattr__(EMPTY_AREA, "map_id", 0)
 object.__setattr__(EMPTY_AREA, "name", "")
 
 
+_LAT_CLAMP_LO = to_map_unit(-85.0)
+_LAT_CLAMP_HI = to_map_unit(85.0)
+
+
 def round_area(b: Area, resolution: int) -> Area:
     """Exact port of RoundingUtils.round(Area, int) (RoundingUtils.java:64-105).
 
@@ -103,6 +107,21 @@ def round_area(b: Area, resolution: int) -> Area:
     """
     shift = 24 - resolution
     alignment = 1 << shift
+
+    # identity fast path (round 7): the quadtree recursion re-rounds every
+    # subset/trim area (~2 calls per node, tens of thousands per split at
+    # resolution 13), and split boundaries are alignment multiples by
+    # construction — when all four edges are already aligned, inside the
+    # clamp, and parity-matched, every branch below is a no-op, so return
+    # the input unchanged (the numpy-backed scalar rounding helpers cost
+    # ~100 µs per call).
+    mask = alignment - 1
+    if ((b.min_lat & mask) == 0 and (b.max_lat & mask) == 0
+            and (b.min_long & mask) == 0 and (b.max_long & mask) == 0
+            and b.min_lat >= _LAT_CLAMP_LO and b.max_lat <= _LAT_CLAMP_HI
+            and (b.min_lat & alignment) == (b.max_lat & alignment)
+            and (b.min_long & alignment) == (b.max_long & alignment)):
+        return b
 
     min_lat = max(b.min_lat, to_map_unit(-85.0))
     max_lat = min(b.max_lat, to_map_unit(85.0))

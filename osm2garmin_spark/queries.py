@@ -2182,7 +2182,10 @@ def kmeans_embed_clusters(spark, sf_dir):
     could never pass this gate (sum-order/tie noise)."""
     from .functions.kmeans import kmeans_fit
 
-    emb = _read(spark, sf_dir, "embeddings")
+    # single-row-group scan: every Lloyd pass re-reads the table; spread
+    # the quantize+assign work across cores
+    emb = _read(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism)
     _, assigned = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2,
                              dim=64)
     return assigned
@@ -2452,7 +2455,15 @@ SELECT event_id, event_type, value_cents FROM gated WHERE action <> 'delete'
 def tiling_pipeline_counts(spark, sf_dir):
     """full reference pipeline: density → driver quadtree → assignment →
     per-tile counts (tile boundaries included for regression eyeballs)."""
-    pts = _event_points(spark, sf_dir)
+    # single-row-group events scan: the density partial-agg and the
+    # broadcast assignment probe otherwise run one-task (the exchange is
+    # ids only, BEFORE the coordinate derivation; the tile join itself
+    # still never shuffles the fact — plan-guarded)
+    pts = (_read(spark, sf_dir, "events").select("event_id")
+           .repartition(spark.sparkContext.defaultParallelism)
+           .select("event_id",
+                   derived_lat(F.col("event_id")).alias("lat"),
+                   derived_lon(F.col("event_id")).alias("lon")))
     res = run_tiling_pipeline(pts, max_nodes=200, overlap=_OVERLAP)
     if res is None:
         return spark.createDataFrame([], "tile_id int, n_rows long")
@@ -3028,7 +3039,10 @@ def ann_pq_top3(spark, sf_dir):
     per-query shortlist. The memory-bound scale path — compare with
     embed_top3 (exact) / ann_lsh_top3 / ann_ivf_top3; at 10^12 rows PQ
     composes with IVF into the published IVFADC layout."""
-    emb = _read(spark, sf_dir, "embeddings")
+    # single-row-group scan: the ADC code scan and the exact re-rank
+    # otherwise run one-task
+    emb = _read(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism)
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     corpus = emb.select(F.col("vec_id").alias("c_id"),

@@ -88,23 +88,25 @@ def collect_density(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
     import numpy as np
 
     grid = DensityGrid(bounds, trim=True, resolution=resolution)
-    cells = density_cells(df, lat_col, lon_col, resolution, bounds).persist()
-    try:
-        # serial leg: only (cell_x, cell_y, cnt) cross the Arrow boundary
-        pdf = cells.select("cell_x", "cell_y", "cnt").toPandas()
-        if len(pdf) == 0:
-            return grid, None
-        # parallel leg: global exact bounds reduce on executors (1 row back)
-        row = cells.agg(F.min("min_lat_mu").alias("a"),
-                        F.min("min_lon_mu").alias("b"),
-                        F.max("max_lat_mu").alias("c"),
-                        F.max("max_lon_mu").alias("d")).first()
-    finally:
-        cells.unpersist()
+    # ONE job, ONE Arrow transfer (round 7): the previous shape persisted
+    # the cell table so a second 1-row aggregate could reduce the exact
+    # bounds on executors, keeping the driver transfer at 3/7 width — but
+    # the persist materialization + second job cost ~3 s against a ~1 s
+    # width saving once the occupied-cell count reaches ~10^6 (sparse
+    # points at resolution 13). The full 7-column cell table now crosses
+    # once and the global bounds reduce in numpy over the per-cell
+    # min/max (identical integers, reduction order irrelevant). The
+    # occupied-cell transfer is still the driver path's documented
+    # O(occupied cells) bound; callers beyond it use
+    # split_strategy="distributed".
+    pdf = density_cells(df, lat_col, lon_col, resolution, bounds).toPandas()
+    if len(pdf) == 0:
+        return grid, None
     xs = pdf["cell_x"].to_numpy(np.int64)
     ys = pdf["cell_y"].to_numpy(np.int64)
     cnts = pdf["cnt"].to_numpy(np.int64)
     grid.grid[xs, ys] = cnts          # cells unique after groupBy
     grid.total = int(cnts.sum())
-    exact = Area(int(row["a"]), int(row["b"]), int(row["c"]), int(row["d"]))
+    exact = Area(int(pdf["min_lat_mu"].min()), int(pdf["min_lon_mu"].min()),
+                 int(pdf["max_lat_mu"].max()), int(pdf["max_lon_mu"].max()))
     return grid, exact

@@ -87,9 +87,82 @@ class DensityGrid:
         """
         np.add.at(self.grid, (xs, ys), counts)
         self.total = int(self.grid.sum())
+        if getattr(self, "_sat", None) is not None:
+            del self._sat          # mutation invalidates the table
 
     def node_count(self) -> int:
         return self.total
+
+    # --- summed-area table (round 7) ------------------------------------
+    # The split recursion reads each node's subgrid ~4 times (subset
+    # total, trim occupancy both axes, weighted-median axis sums) — at
+    # resolution 13 that is O(grid_cells × tree_depth) element reads,
+    # ~5.6 s of the sf1.0 tiling_pipeline_counts wall on this machine.
+    # One prefix-sum pass S[i, j] = grid[:i, :j].sum() makes every
+    # rectangle total O(1) and every per-axis sum vector O(edge), and the
+    # results are the SAME exact int64 values (counts are non-negative,
+    # verified at build time, so `colsum > 0` is exactly the occupancy
+    # `any()` the trim loops need). Subsets inherit the parent's table
+    # with an absolute offset plus a valid-data extent (the zero padding
+    # an unaligned subset copy introduces contributes 0 to every sum).
+
+    def build_sat(self):
+        """Build the shared summed-area table on a data-owning grid.
+        Call after population; no-op for empty or negative-count grids
+        (negative counts would break the occupancy probe — every method
+        falls back to the direct numpy passes without a table)."""
+        if self.grid is None or self.grid.size == 0:
+            return
+        if bool((self.grid < 0).any()):
+            return
+        sat = np.zeros((self.width + 1, self.height + 1), dtype=np.int64)
+        # accumulate straight into the table: axis=1 first (contiguous
+        # inner axis), then an in-place scan along axis=0 — avoids two
+        # grid-sized intermediates on a bandwidth-starved machine
+        np.cumsum(self.grid, axis=1, out=sat[1:, 1:])
+        np.add.accumulate(sat[1:, 1:], axis=0, out=sat[1:, 1:])
+        self._sat = sat
+        self._sat_ox = 0
+        self._sat_oy = 0
+        self._ext = (0, 0, self.width, self.height)
+
+    def _rect_sum(self, x0: int, x1: int, y0: int, y1: int) -> int:
+        """grid[x0:x1, y0:y1].sum() in local coords via the table."""
+        ex0, ey0, ex1, ey1 = self._ext
+        a, b = max(x0, ex0), min(x1, ex1)
+        c, d = max(y0, ey0), min(y1, ey1)
+        if a >= b or c >= d:
+            return 0
+        s = self._sat
+        ox, oy = self._sat_ox, self._sat_oy
+        return int(s[ox + b, oy + d] - s[ox + a, oy + d]
+                   - s[ox + b, oy + c] + s[ox + a, oy + c])
+
+    def _colsums(self, x0: int, x1: int, y0: int, y1: int) -> np.ndarray:
+        """grid[x0:x1, y0:y1].sum(axis=1) in local coords via the table."""
+        out = np.zeros(max(x1 - x0, 0), dtype=np.int64)
+        ex0, ey0, ex1, ey1 = self._ext
+        a, b = max(x0, ex0), min(x1, ex1)
+        c, d = max(y0, ey0), min(y1, ey1)
+        if a < b and c < d:
+            s = self._sat
+            ox, oy = self._sat_ox, self._sat_oy
+            edge = s[ox + a: ox + b + 1, oy + d] - s[ox + a: ox + b + 1, oy + c]
+            out[a - x0: b - x0] = edge[1:] - edge[:-1]
+        return out
+
+    def _rowsums(self, x0: int, x1: int, y0: int, y1: int) -> np.ndarray:
+        """grid[x0:x1, y0:y1].sum(axis=0) in local coords via the table."""
+        out = np.zeros(max(y1 - y0, 0), dtype=np.int64)
+        ex0, ey0, ex1, ey1 = self._ext
+        a, b = max(x0, ex0), min(x1, ex1)
+        c, d = max(y0, ey0), min(y1, ey1)
+        if a < b and c < d:
+            s = self._sat
+            ox, oy = self._sat_ox, self._sat_oy
+            edge = s[ox + b, oy + c: oy + d + 1] - s[ox + a, oy + c: oy + d + 1]
+            out[c - y0: d - y0] = edge[1:] - edge[:-1]
+        return out
 
     # --- subset + trim (DensityMap.java:88-179) -------------------------
     def subset(self, sub: Area) -> "DensityGrid":
@@ -124,7 +197,21 @@ class DensityGrid:
         else:
             result.grid = np.zeros((result.width, result.height), dtype=np.int64)
             result.grid[:max_x, :max_y] = view
-        result.total = int(result.grid.sum())
+        if getattr(self, "_sat", None) is not None:
+            # inherit the table: local (0,0) sits at parent-local
+            # (start_x, start_y); the valid-data extent shrinks by the
+            # same shift and clips to the child dims
+            ex0, ey0, ex1, ey1 = self._ext
+            result._sat = self._sat
+            result._sat_ox = self._sat_ox + start_x
+            result._sat_oy = self._sat_oy + start_y
+            result._ext = (max(0, ex0 - start_x), max(0, ey0 - start_y),
+                           min(result.width, ex1 - start_x),
+                           min(result.height, ey1 - start_y))
+            result.total = result._rect_sum(0, result.width,
+                                            0, result.height)
+        else:
+            result.total = int(result.grid.sum())
         return result
 
     def _trim(self, area: Area) -> Area:
@@ -138,13 +225,24 @@ class DensityGrid:
         min_y = self.lat_to_y(area.min_lat)
         max_y = self.lat_to_y(area.max_lat)
 
-        win = self.grid[min_x:max_x, min_y:max_y]
-        occ_x = np.nonzero(win.any(axis=1))[0]
+        if getattr(self, "_sat", None) is not None:
+            # occupancy via per-axis sums from the table (counts are
+            # non-negative by build_sat's check, so sum > 0 == any)
+            occ_x = np.nonzero(
+                self._colsums(min_x, max_x, min_y, max_y) > 0)[0]
+        else:
+            win = self.grid[min_x:max_x, min_y:max_y]
+            occ_x = np.nonzero(win.any(axis=1))[0]
         if len(occ_x) == 0:
             return EMPTY_AREA
         new_min_x = min_x + int(occ_x[0])
         new_max_x = min_x + int(occ_x[-1]) + 1
-        occ_y = np.nonzero(self.grid[new_min_x:new_max_x, min_y:max_y].any(axis=0))[0]
+        if getattr(self, "_sat", None) is not None:
+            occ_y = np.nonzero(
+                self._rowsums(new_min_x, new_max_x, min_y, max_y) > 0)[0]
+        else:
+            occ_y = np.nonzero(
+                self.grid[new_min_x:new_max_x, min_y:max_y].any(axis=0))[0]
         if len(occ_y) == 0:
             return EMPTY_AREA
         min_x, max_x = new_min_x, new_max_x
@@ -220,8 +318,13 @@ class SplittableDensityArea:
     # colsum/rowsum computed once per node (two grid passes serve both axes)
     def _axis_sums(self):
         if getattr(self, "_sums", None) is None:
-            g = self.densities.grid
-            self._sums = (g.sum(axis=1), g.sum(axis=0))
+            d = self.densities
+            if getattr(d, "_sat", None) is not None:
+                self._sums = (d._colsums(0, d.width, 0, d.height),
+                              d._rowsums(0, d.width, 0, d.height))
+            else:
+                g = d.grid
+                self._sums = (g.sum(axis=1), g.sum(axis=0))
         return self._sums
 
     def _get_split_horiz(self) -> Optional[int]:
@@ -331,6 +434,8 @@ def split_area(grid: DensityGrid, exact_area: Area, resolution: int,
     getRoundedArea, DensityMapCollector.java:80-83). Returns Areas with
     map_id set in reference traversal order."""
     bbounds = rounded_split_bounds(exact_area, resolution)
+    if getattr(grid, "_sat", None) is None:
+        grid.build_sat()           # one pass; every recursion node O(edge)
     splittable = SplittableDensityArea(grid.subset(bbounds))
     areas = splittable.split(max_nodes)
     if not areas and grid.node_count() > 0:

@@ -162,3 +162,39 @@ def test_bottom_sliver_points_get_a_tile(spark):
     assigned = assign_points_to_tiles(pts, tiles, 2000, "lat", "lon")
     covered = assigned.select("event_id").distinct().count()
     assert covered == 3000
+
+
+def test_sat_split_matches_direct_passes():
+    # round 7: the summed-area-table path must reproduce the direct
+    # numpy-pass recursion bit-for-bit — totals, trim, axis sums, tiles
+    import numpy as np
+    from osm2garmin_spark.geo.area import Area, PLANET
+    from osm2garmin_spark.split.quadtree import DensityGrid, split_area
+
+    rng = np.random.default_rng(7)
+    for res, n_pts, max_nodes in ((9, 4000, 50), (11, 20000, 200)):
+        g1 = DensityGrid(PLANET, trim=True, resolution=res)
+        g2 = DensityGrid(PLANET, trim=True, resolution=res)
+        xs = rng.integers(0, g1.width, n_pts)
+        ys = rng.integers(0, g1.height, n_pts)
+        # clustered + uniform mix so trim and the median clamp both fire
+        xs[: n_pts // 2] = xs[: n_pts // 2] % max(g1.width // 7, 1)
+        np.add.at(g1.grid, (xs, ys), 1)
+        np.add.at(g2.grid, (xs, ys), 1)
+        g1.total = g2.total = int(g1.grid.sum())
+        exact = Area(g1.y_to_lat(int(ys.min())), g1.x_to_lon(int(xs.min())),
+                     g1.y_to_lat(int(ys.max()) + 1),
+                     g1.x_to_lon(int(xs.max()) + 1))
+        g1.build_sat()
+        assert getattr(g1, "_sat", None) is not None
+        tiles_sat = split_area(g1, exact, res, max_nodes)
+        # defeat build_sat for the control: negative sentinel then undo
+        g2.grid[0, 0] -= 10**9
+        g2.build_sat()
+        g2.grid[0, 0] += 10**9
+        assert getattr(g2, "_sat", None) is None
+        tiles_direct = split_area(g2, exact, res, max_nodes)
+        assert [(t.map_id, t.min_lat, t.min_long, t.max_lat, t.max_long)
+                for t in tiles_sat] == \
+               [(t.map_id, t.min_lat, t.min_long, t.max_lat, t.max_long)
+                for t in tiles_direct]
