@@ -14,11 +14,12 @@ Scale shape (the part that matters at 100 TB):
   side joins map-side and NEVER shuffles its text.
 - the corpus computes its shingle array **in-row** (JVM
   ``word_shingles`` + ``array_distinct``, whole-stage codegen), carries
-  the per-doc gram count through the explode, and inner-joins the
-  broadcast gram set — so the only rows that reach the final
-  ``groupBy(doc)`` shuffle are the HITS (a doc's grams all live in one
-  input row, hence one partition, so the map-side partial agg collapses
-  them to one row per flagged doc before the exchange).
+  the per-doc gram count through the explode, and LEFT-joins the
+  broadcast gram set; the unconditional ``groupBy(doc)`` then sends one
+  map-side partial-agg row per corpus doc (hit or not) through the
+  exchange — a doc's grams all live in one input row, hence one
+  partition, so the partial agg collapses each doc to a single row —
+  and the hits filter applies after aggregation.
 - for eval sets too big to broadcast, compose with
   ``operators.bloom_join.bloom_bits``: pre-filter corpus grams through
   a bloom of the eval grams, then shuffle only candidates.

@@ -24,8 +24,10 @@ Scale levers at 100 TB:
   so the cutoff bounds the worst bucket; it changes SEMANTICS
   (documented, deterministic, reproduced by the oracle), unlike
   salting which only rebalances.
-- the df table is a term-keyed aggregate joined back by term — tiny,
-  broadcast.
+- the df cutoff applies as a broadcast LEFT ANTI join against the
+  df > max_df stop-head — the head is bounded by the cutoff's
+  selectivity, while the kept set approaches the whole vocabulary at
+  corpus scale and could never broadcast.
 - remaining head skew after the cutoff is ordinary join-key skew: AQE
   skew-split handles it (the engine-wide default).
 """
@@ -50,10 +52,15 @@ def tf_postings(docs: DataFrame, id_col: str = "doc_id",
         return tf
     if max_df < 1:
         raise ValueError(f"max_df must be >= 1, got {max_df}")
-    df = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-          .filter(F.col("_df") <= max_df))
-    return tf.join(F.broadcast(df.select("term")), "term").select(
-        "id", "term", "tf")
+    # broadcast the DROPPED stop-head (df > max_df), not the kept set: at
+    # corpus scale the kept terms are essentially the whole vocabulary
+    # while the head is bounded by the cutoff's selectivity, so the
+    # anti-join's broadcast side is the small one (ADVICE r6). Identical
+    # semantics: keep df <= max_df ⟺ drop df > max_df.
+    head = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df))
+    return tf.join(F.broadcast(head.select("term")), "term", "left_anti") \
+        .select("id", "term", "tf")
 
 
 def similar_topk(docs: DataFrame, query_ids: DataFrame, k: int,

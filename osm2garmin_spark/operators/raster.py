@@ -192,7 +192,11 @@ def pyramid_stats(images: DataFrame, levels: int = 2) -> DataFrame:
     are touched once), and only 3 longs per (image, level) leave the
     scan. The same rollup-from-previous-level discipline as the
     Web-Mercator tile pyramid (operators/pyramid.py), applied inside
-    each image instead of across tiles."""
+    each image instead of across tiles.
+
+    Images whose height or width drops below 2 before ``levels``
+    reductions emit only the levels that exist (a 16×16 image supports
+    at most 4 reductions; one undersized image must not fail the job)."""
     if levels < 1:
         raise ValueError(f"levels must be >= 1, got {levels}")
 
@@ -213,6 +217,11 @@ def pyramid_stats(images: DataFrame, levels: int = 2) -> DataFrame:
                     mx.append(int(cur.max()))
                     sm.append(int(cur.astype(np.int64).sum()))
                     if lv < levels:
+                        if min(cur.shape) < 2:
+                            # image exhausted mid-pyramid: emit the
+                            # levels that exist instead of failing the
+                            # whole job on one small image (ADVICE r6)
+                            break
                         cur = downsample2x(cur)
             yield pd.DataFrame({
                 "image_id": ids,

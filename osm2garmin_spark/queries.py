@@ -3423,16 +3423,35 @@ FROM pcm GROUP BY i, t // 1024
 # ---------------------------------------------------------------------------
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order is deliberate (VERDICT r5 "Next round" #1): the
-    driver's correctness gate attests the FIRST 50 dict entries, so the
-    LLM-data-pipeline block (pHash/minhash/cluster/crossmodal/ANN/AV/
-    streaming) sits right after the cheap TPC-H core, and the geo-encode
-    / covering twins — each independently driver-attested green in
-    earlier rounds and pinned by pytest parity suites — take the tail
-    positions. Within blocks, cheaper queries lead in case the cap is
-    ever time-based rather than count-based."""
+    """Registry order is deliberate: the driver's correctness gate
+    attests the FIRST 50 dict entries, and with 86 queries attestation
+    is a rolling two-round claim — so the window must hold every query
+    whose CODE changed since its last driver-green row (VERDICT r6
+    "Next round" #3). Round-7 rotation:
+
+    - IN (code touched by the round-7 optimizations): the interval/
+      trajectory/retrieval dtype+op changes inside the unchanged core
+      block; the pHash family (value-compressed banding), kNN family
+      (blocked kernel), range joins (latitude-banded grid), tiling
+      pipeline (SAT quadtree + one-transfer density), image decode/
+      pyramid (repartition + small-image guard), kmeans/PQ
+      (repartition/checkpoint), table checksums (vectorized fold).
+    - IN (stale r5-tail rotation the r6 verdict asked for):
+      way/relation/keep_complete tilesets, the pip family, simplify,
+      apply_changes, slippy_encode, doc_text_features.
+    - OUT to the tail: the round-6-green queries whose code is
+      untouched this round (streams, AV, minhash/LSH/IVF, funnel,
+      pagerank, quantiles, decontam, bloom, top-terms, edit refine,
+      incremental dedup) — their r6 attestations remain current — and
+      image_histogram_features, whose frozen array<long> oracle the
+      driver's canonicalizer cannot hash either way (r6 `err` row;
+      values verified by the local gate, which tuple-izes lists).
+
+    Round 6 listed tile_names / tiling_pipeline_counts twice (duplicate
+    dict keys, ADVICE r6); each key now appears exactly once, so
+    len(queries()) == the 86 entries written here."""
     return {
-        # -- cheap relational core --------------------------------------
+        # -- unchanged relational core (1-17) ---------------------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_volume": q5_region_volume,
@@ -3450,60 +3469,60 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_events_stratified": sample_events_stratified,
         "sample_events_balanced": sample_events_balanced,
         "track_lengths_per_user": track_lengths_per_user,
-        # -- LLM-data-pipeline block (driver attestation priority) ------
-        "stream_tumbling_counts": stream_tumbling_counts,
-        "stream_session_windows": stream_session_windows,
-        "image_histogram_features": image_histogram_features,
+        # -- round-7-changed queries (18-39) ----------------------------
+        "doc_similar_top3": doc_similar_top3,
+        "events_table_checksums": events_table_checksums,
+        "kmeans_embed_clusters": kmeans_embed_clusters,
+        "ann_pq_top3": ann_pq_top3,
+        "image_decode_stats": image_decode_stats,
         "image_pyramid_stats": image_pyramid_stats,
         "tile_names": tile_names,
         "tiling_pipeline_counts": tiling_pipeline_counts,
-        "video_frame_stats": video_frame_stats,
-        "audio_window_features": audio_window_features,
-        "minhash_candidates": minhash_candidates,
-        "ann_lsh_top3": ann_lsh_top3,
-        "ann_ivf_top3": ann_ivf_top3,
-        "ann_pq_top3": ann_pq_top3,
+        "density_histogram": density_histogram,
+        "tile_assign_fixed": tile_assign_fixed,
         "phash_near_pairs_images": phash_near_pairs_images,
         "dhash_near_pairs_images": dhash_near_pairs_images,
         "phash128_near_pairs_images": phash128_near_pairs_images,
         "phash_dct_near_pairs_images": phash_dct_near_pairs_images,
-        "near_dup_edit_refine": near_dup_edit_refine,
-        "incremental_dedup_new_docs": incremental_dedup_new_docs,
-        "doc_top_terms": doc_top_terms,
-        "decontaminate_docs": decontaminate_docs,
-        "tile_pyramid_events": tile_pyramid_events,
-        "bloom_prune_lineitems": bloom_prune_lineitems,
-        "kmeans_embed_clusters": kmeans_embed_clusters,
-        "funnel_signup_click_purchase": funnel_signup_click_purchase,
-        "doc_similar_top3": doc_similar_top3,
-        "events_value_quantiles": events_value_quantiles,
-        "events_table_checksums": events_table_checksums,
-        "pagerank_user_graph": pagerank_user_graph,
-        "dedup_clusters_docs": dedup_clusters_docs,
-        "crossmodal_dedup_clusters": crossmodal_dedup_clusters,
         "phash_dedup_clusters": phash_dedup_clusters,
-        # -- geo / tiling core -------------------------------------------
-        "density_histogram": density_histogram,
-        "tile_assign_fixed": tile_assign_fixed,
+        "crossmodal_dedup_clusters": crossmodal_dedup_clusters,
+        "dedup_clusters_docs": dedup_clusters_docs,
+        "knn_customers_suppliers": knn_customers_suppliers,
+        "knn_stratified_customers_events": knn_stratified_customers_events,
+        "knn_hex_customers_events": knn_hex_customers_events,
+        "range_join_customers_events": range_join_customers_events,
+        "range_knn_customers_events": range_knn_customers_events,
+        # -- stale-attestation rotation (40-50, VERDICT r6 #3) ----------
+        "slippy_encode": slippy_encode,
         "way_tileset": way_tileset,
         "relation_tileset": relation_tileset,
         "keep_complete_tileset": keep_complete_tileset,
-        "tile_names": tile_names,
-        "tiling_pipeline_counts": tiling_pipeline_counts,
-        "image_decode_stats": image_decode_stats,
-        "knn_customers_suppliers": knn_customers_suppliers,
-        "range_join_customers_events": range_join_customers_events,
-        "range_knn_customers_events": range_knn_customers_events,
-        "knn_stratified_customers_events": knn_stratified_customers_events,
-        "knn_hex_customers_events": knn_hex_customers_events,
         "pip_hexagon": pip_hexagon,
         "pip_partitioned": pip_partitioned,
         "pip_region_holes": pip_region_holes,
         "simplify_event_tracks": simplify_event_tracks,
         "apply_changes_events": apply_changes_events,
         "apply_changes_gated": apply_changes_gated,
-        # -- documents / embeddings --------------------------------------
         "doc_text_features": doc_text_features,
+        # -- tail: round-6-green, code untouched this round -------------
+        "stream_tumbling_counts": stream_tumbling_counts,
+        "stream_session_windows": stream_session_windows,
+        "image_histogram_features": image_histogram_features,
+        "video_frame_stats": video_frame_stats,
+        "audio_window_features": audio_window_features,
+        "minhash_candidates": minhash_candidates,
+        "ann_lsh_top3": ann_lsh_top3,
+        "ann_ivf_top3": ann_ivf_top3,
+        "near_dup_edit_refine": near_dup_edit_refine,
+        "incremental_dedup_new_docs": incremental_dedup_new_docs,
+        "doc_top_terms": doc_top_terms,
+        "decontaminate_docs": decontaminate_docs,
+        "tile_pyramid_events": tile_pyramid_events,
+        "bloom_prune_lineitems": bloom_prune_lineitems,
+        "funnel_signup_click_purchase": funnel_signup_click_purchase,
+        "events_value_quantiles": events_value_quantiles,
+        "pagerank_user_graph": pagerank_user_graph,
+        # -- documents / embeddings tail --------------------------------
         "doc_fingerprints": doc_fingerprints,
         "doc_simhash": doc_simhash,
         "exact_dedup_docs": exact_dedup_docs,
@@ -3512,13 +3531,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_pairs_exact": embed_near_pairs_exact,
         "doc_token_bpe": doc_token_bpe,
         "doc_quality_signals": doc_quality_signals,
-        # -- geo-encode / covering twins (tail: each driver-attested in
-        # earlier rounds; parity vs numpy/SQL twins pinned in pytest) ----
+        # -- geo-encode / covering twins tail ---------------------------
         "cell_encode": cell_encode,
         "hilbert_encode": hilbert_encode,
         "s2_cell_encode": s2_cell_encode,
         "hex_cell_encode": hex_cell_encode,
-        "slippy_encode": slippy_encode,
         "geohash_encode": geohash_encode,
         "tile_webcover": tile_webcover,
         "hex_cover_filter": hex_cover_filter,

@@ -82,3 +82,19 @@ def test_plan_reuses_every_level_exchange(spark):
     pyr.collect()  # executed plan (AQE finalizes reuse at runtime)
     plan = pyr._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") == 3
+
+
+def test_pyramid_small_image_emits_existing_levels(spark):
+    # ADVICE r6: a 1-pixel image must not fail the job; it emits level 0
+    # only, while normal images still emit every requested level
+    import pandas as pd
+    from osm2garmin_spark.operators.raster import pyramid_stats
+    rows = [("tiny", bytes([7]), 1, 1, "raw"),
+            ("ok", bytes(range(16)), 4, 4, "raw")]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+    out = {(r.image_id, r.level): (r.p_min, r.p_max, r.p_sum)
+           for r in pyramid_stats(df, levels=2).collect()}
+    assert ("tiny", 0) in out and ("tiny", 1) not in out
+    assert ("ok", 0) in out and ("ok", 1) in out and ("ok", 2) in out
+    assert out[("tiny", 0)] == (7, 7, 7)
