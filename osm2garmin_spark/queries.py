@@ -2734,8 +2734,11 @@ def crossmodal_dedup_clusters(spark, sf_dir):
         docs, "doc_id", "text", n=1, num_hashes=16, bands=8).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
 
+    # checkpoint: the value-compressed pair expansion references the
+    # fingerprint table three times (distinct + both join sides)
     hashes = docs.select(F.col("doc_id").alias("id")).mapInPandas(
-        _phash_map, schema="image_id long, phash long")
+        _phash_map,
+        schema="image_id long, phash long").localCheckpoint(eager=True)
     img_pairs = phash_near_pairs(hashes, max_hamming=3) \
         .select("id_a", "id_b")
 
