@@ -27,22 +27,24 @@ Operators:
                          all-pairs product). Refine = one JVM
                          ``bit_count(xor)`` per candidate.
 
-100 TB story: the band join shuffles (band_idx, band_val) keys only; the
-binary column never moves. Degenerate band values (e.g. the all-zeros
-band of flat images) make hot buckets — that is data skew on the join
-key, handled the same way as every other join here: AQE skew-join
-splitting (on by default in session.py) or an explicit pre-filter of
-over-frequent band values into a salted residual pass. The refine is a
-pure column expression, so the whole pipeline is shuffle-bounded by the
-candidate count, exactly like minhash_lsh_pairs.
+100 TB story (round 7: VALUE COMPRESSION): the band self-join runs over
+the DISTINCT hash values, so bucket growth follows the hash DOMAIN, not
+the row count — a corpus that repeats fingerprints (re-uploads,
+thumbnails, flat images) adds rows to the expansion joins but nothing
+to the quadratic bucket stage, and degenerate content (hot identical
+hashes, collapsed dHash entropy) shows up only as genuinely-large
+OUTPUT, which no blocking can avoid. The id→hash rows shuffle once per
+expansion join on the 8-byte hash key; the binary column never moves;
+the refine is a pure column expression (one popcount per distinct-hash
+candidate).
 
-The band join's bucket discrimination is capped at 2^(hash_bits/(t+1))
-values; for the 64-bit hash at t=3 that is 2^16, and false-candidate
-volume grows as N²/2^16 past ~10M rows per hash domain
-(tools/bench_phash_corpus.py measures the knee). The scale path is a
-WIDER fingerprint, not more bands of the same hash: ``phash128*`` below
+The band join's bucket discrimination is still capped at
+2^(hash_bits/(t+1)) values over the DISTINCT hashes; for the 64-bit
+hash at t=3 that is 2^16, and false-candidate volume grows as
+D²/2^16 in distinct hashes D. The scale path past that is a WIDER
+fingerprint, not more bands of the same hash: ``phash128*`` below
 carries 128 bits in an (hi, lo) int64 pair and blocks on four 32-bit
-bands — 2^32 bucket values — restoring ~linear candidate volume.
+bands — 2^32 bucket values.
 
 No reference analogue (mantlik/osm2garmin has no image dedup); brief-
 mandated training-data-pipeline operator (SURVEY.md §2.12).
