@@ -212,6 +212,17 @@ def edit_refine(pairs: DataFrame, docs: DataFrame, max_dist: int,
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     if prefix < 1:
         raise ValueError(f"prefix must be >= 1, got {prefix}")
+    # decouple the DP's parallelism from the upstream layout: the LSH
+    # candidate output is small in BYTES, so AQE coalesces it toward one
+    # partition — and then every O(prefix·max_dist) Levenshtein runs on
+    # one core (measured ~6 s single-task for 40k pairs at p=120/d=80).
+    # The exchange must sit BELOW the prefix joins: placed above them,
+    # the optimizer pushes the distance filter (and the DP inside it)
+    # back under the exchange and the single-task stage returns.
+    # REPARTITION_BY_NUM is exempt from AQE coalescing, and the
+    # levenshtein predicate cannot be pushed below joins it depends on.
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism)
     txt = docs.select(F.col(id_col).alias("_eid"),
                       F.substring(F.col(text_col), 1, prefix).alias("_ep"))
     joined = (pairs

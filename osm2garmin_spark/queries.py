@@ -1891,7 +1891,10 @@ def incremental_dedup_new_docs(spark, sf_dir):
     a bucket join, not a full-corpus rebuild. Returns each new doc with
     its nearest seen near-dup (min seen id) — NULL-free: only flagged
     docs emit."""
-    docs = _read(spark, sf_dir, "documents")
+    # single-row-group scan: the |new|-side signature computation is the
+    # incremental cost and otherwise runs one-task (value-neutral)
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     seen = docs.filter(F.col("doc_id") < 300)
     new = docs.filter(F.col("doc_id") >= 300)
     sig_seen = D.minhash_signatures(seen, "doc_id", "text", 1, 16)
@@ -2242,7 +2245,10 @@ WHERE rn = 1
 
 def jaccard_pairs_docs(spark, sf_dir):
     """exact unigram-Jaccard near-dup pairs on a doc subset (≥0.6)."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # 300 docs off a single-row-group scan: spread the interpreted
+    # shingle/minhash lambdas across cores (value-neutral)
+    docs = (_read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .repartition(spark.sparkContext.defaultParallelism))
     out = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.6)
     return out.select("doc_a", "doc_b", "inter", "sz_a", "sz_b")
 
@@ -2729,7 +2735,10 @@ def crossmodal_dedup_clusters(spark, sf_dir):
     from .pipeline.synth import _phash_map
     from .functions.phash import phash_near_pairs
 
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # 300 docs off a single-row-group scan: spread the interpreted
+    # shingle/minhash lambdas across cores (value-neutral)
+    docs = (_read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .repartition(spark.sparkContext.defaultParallelism))
     text_pairs = D.minhash_lsh_pairs(
         docs, "doc_id", "text", n=1, num_hashes=16, bands=8).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
@@ -2774,7 +2783,10 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
 
 def minhash_candidates(spark, sf_dir):
     """MinHash-LSH near-dup candidates (scale path for jaccard_pairs_docs)."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # 300 docs off a single-row-group scan: spread the interpreted
+    # shingle/minhash lambdas across cores (value-neutral)
+    docs = (_read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .repartition(spark.sparkContext.defaultParallelism))
     out = D.minhash_lsh_pairs(docs, "doc_id", "text", n=1, num_hashes=16, bands=8)
     return out.select("doc_a", "doc_b")
 
@@ -2843,7 +2855,10 @@ def near_dup_edit_refine(spark, sf_dir):
     Levenshtein (threshold DP, JVM-side) certifies character-level
     closeness and drops shingle-collision false positives
     (functions/dedup.edit_refine)."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # 300 docs off a single-row-group scan: spread the interpreted
+    # shingle/minhash lambdas across cores (value-neutral)
+    docs = (_read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .repartition(spark.sparkContext.defaultParallelism))
     cand = D.minhash_lsh_pairs(docs, "doc_id", "text", n=1,
                                num_hashes=16, bands=8)
     return D.edit_refine(cand, docs, max_dist=80, prefix=120)
@@ -2862,7 +2877,10 @@ def dedup_clusters_docs(spark, sf_dir):
     canonical-survivor rule. Iterative min-label propagation
     (functions/dedup.dedup_clusters); singleton docs are their own
     cluster."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # 300 docs off a single-row-group scan: spread the interpreted
+    # shingle/minhash lambdas across cores (value-neutral)
+    docs = (_read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .repartition(spark.sparkContext.defaultParallelism))
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=1,
                                 num_hashes=16, bands=8)
     out = D.dedup_clusters(docs.select("doc_id"), pairs)
